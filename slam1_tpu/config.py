@@ -1,0 +1,157 @@
+"""Typed configuration tree.
+
+Replaces the reference's scattered hardcoded constants (SURVEY.md §5
+"Config / flag system": /root/reference/main.py:34-40,75,90-106,
+orb.py:4, keypoint.py:48, BundleAdjustment.py:17,124-141,182,
+visual_odometry.py:19-29,89-153) with one frozen dataclass tree.
+
+All shape-determining fields are static Python ints so that jitted
+functions specialize on them (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ImageConfig:
+    # KITTI odometry grayscale is 1226x370 (ref XXXport_files.py:51);
+    # we pad to TPU-friendly multiples (lane dim 128, sublane 8).
+    height: int = 376
+    width: int = 1280
+    # Valid region inside the padded canvas (pixels outside are masked).
+    valid_height: int = 370
+    valid_width: int = 1226
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    # Tiled detection for spatial spread (ref orb.py:4 uses 5x10 tiles
+    # with 50% overlap; we use a non-overlapping grid + per-tile top-k,
+    # which achieves the same spread with static shapes).
+    grid_rows: int = 5
+    grid_cols: int = 10
+    kp_per_tile: int = 40          # per-tile top-k  (ref: 200 nfeatures/tile)
+    fast_threshold: float = 20.0   # FAST-9 intensity delta threshold
+    fast_arc: int = 9              # contiguous arc length for a corner
+    nms_radius: int = 2            # local-max suppression window radius
+    patch_size: int = 33           # descriptor/orientation patch edge
+    brief_pairs: int = 256         # rBRIEF descriptor length in bits
+    brief_radius: float = 13.0     # sampling pattern support radius
+    blur_sigma: float = 1.4        # pre-descriptor Gaussian blur
+    pattern_seed: int = 1234       # fixed rBRIEF sampling pattern seed
+
+    @property
+    def max_kp(self) -> int:
+        return self.grid_rows * self.grid_cols * self.kp_per_tile
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    ratio: float = 0.8             # Lowe ratio test (ref keypoint.py:48: 0.7)
+    max_hamming: int = 64          # absolute descriptor distance gate
+    cross_check: bool = True       # mutual best match requirement
+    # Rectified-stereo epipolar gate (replaces ref's FM_LMedS filter,
+    # keypoint.py:59-66, which on rectified KITTI reduces to row + disparity
+    # consistency):
+    epipolar_dy: float = 2.0       # |y_l - y_r| tolerance in px
+    min_disparity: float = 0.25
+    max_disparity: float = 96.0
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    # Temporal 2D<->3D association + PnP (ref Point3D.py:33-53,
+    # transformation.py:5-19, main.py:90-95).
+    max_point_range: float = 500.0  # ref max_Distance (main.py:90)
+    close_range: float = 70.0       # ref close_def_in_m (main.py:92)
+    ransac_iters: int = 256         # vmapped hypothesis count
+    ransac_sample: int = 6          # points per hypothesis (ref VO uses 6)
+    ransac_px_thresh: float = 3.0   # inlier reprojection threshold
+    gn_iters_hypo: int = 5          # GN iterations per hypothesis
+    gn_iters_polish: int = 10       # GN iterations on inlier set
+    min_track_points: int = 8       # fall back to previous motion below this
+    huber_delta: float = 2.0        # robust loss scale in polish, px
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    # Fixed-capacity world map with voxel-hash dedup (replaces the ref's
+    # per-frame KDTree rebuild, keypoint.py:102-122).
+    capacity: int = 1 << 17         # max landmarks in the map table
+    hash_size: int = 1 << 18        # voxel hash buckets
+    voxel_size: float = 0.5         # metres
+    merge_radius: float = 0.5       # merge-if-closer threshold, metres
+    probes: int = 4                 # linear probes on hash collision
+    obs_capacity: int = 1 << 20     # observation record capacity
+    keyframe_every: int = 1         # ref promotes every frame (main.py:121)
+    max_frames: int = 8192          # trajectory buffer capacity
+
+
+@dataclass(frozen=True)
+class BowConfig:
+    # Bag-of-visual-words place recognition (ref bag_of_words.py:10-53).
+    num_words: int = 64             # vocabulary size (ref: 50 KMeans clusters)
+    train_iters: int = 12           # Lloyd iterations
+    query_exclude: int = 100        # don't match frames newer than this
+                                    # (ref bow_threshold, main.py:40)
+    chi2_accept: float = 45.0       # loop trigger (ref main.py:100)
+    rearm_frames: int = 100         # re-arm delay after a closure (main.py:106)
+    sample_desc_per_frame: int = 128  # descriptors sampled per frame for vocab
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    # Backend optimization (ref BundleAdjustment.py).
+    window: int = 5                 # local BA keyframe window
+    lm_iters: int = 15              # Levenberg-Marquardt outer iterations
+    lm_lambda0: float = 1e-3
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 2.0
+    huber_delta: float = 2.0        # robust reprojection loss, px
+    pg_iters: int = 25              # pose-graph GN iterations
+    pg_loop_weight: float = 1000.0  # loop constraint weight (ref :140-141)
+    # per-axis motion-prior weights, ref BundleAdjustment.py:124-129
+    motion_prior: tuple = (1.0, 1.0, 5e-4, 0.5, 0.05, 1.0)
+    cg_iters: int = 64              # CG iterations for the reduced camera system
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    dtype: str = "float32"
+    seed: int = 0
+    log_every: int = 50
+    profile: bool = False
+    checkpoint_every: int = 0       # frames; 0 disables
+    checkpoint_dir: str = "checkpoints"
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    image: ImageConfig = field(default_factory=ImageConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    bow: BowConfig = field(default_factory=BowConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config() -> SlamConfig:
+    """Small config for unit tests / CPU: small images, few keypoints."""
+    return SlamConfig(
+        image=ImageConfig(height=128, width=256, valid_height=128,
+                          valid_width=256),
+        detector=DetectorConfig(grid_rows=2, grid_cols=4, kp_per_tile=24),
+        mapping=MappingConfig(capacity=1 << 12, hash_size=1 << 13,
+                              obs_capacity=1 << 14, max_frames=512),
+        bow=BowConfig(num_words=16, train_iters=6, query_exclude=10,
+                      sample_desc_per_frame=32),
+        tracking=TrackingConfig(ransac_iters=64),
+    )

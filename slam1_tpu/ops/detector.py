@@ -1,0 +1,89 @@
+"""Tiled feature detection: FAST score -> NMS -> per-tile top-k -> oriented
+rBRIEF descriptors, with fixed output capacity.
+
+Replaces the reference's tiled ORB (/root/reference/orb.py:4-25): instead
+of 50%-overlapping tiles with per-tile cv2.ORB calls and ragged keypoint
+lists, the score map is computed once for the whole image and a
+reshape+top_k harvests exactly `kp_per_tile` candidates per grid cell
+(invalid slots masked) — same spatial-spread effect, static shapes, one
+kernel launch. Per-pixel NMS also subsumes the reference's duplicate-
+keypoint removal (keypoint.py:83-98).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam1_tpu.config import DetectorConfig
+from slam1_tpu.ops import brief, fast
+from slam1_tpu.types import Features
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
+    """Detect + describe on one (H,W) float32 image.
+
+    valid_h/valid_w (traced or static) bound the usable region of a
+    padded canvas; detections outside are suppressed.
+    """
+    h, w = img.shape
+    margin = cfg.patch_size // 2 + 1
+    if valid_h is None:
+        valid_h = h
+    if valid_w is None:
+        valid_w = w
+
+    score = fast.fast_score(img, cfg.fast_threshold, arc=cfg.fast_arc)
+    score = fast.nms(score, cfg.nms_radius)
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inside = ((ys >= margin) & (ys < valid_h - margin)
+              & (xs >= margin) & (xs < valid_w - margin))
+    score = jnp.where(inside, score, 0.0)
+
+    # Per-tile top-k. Tile edges must divide the canvas; pad score with
+    # zeros if not.
+    th = -(-h // cfg.grid_rows)
+    tw = -(-w // cfg.grid_cols)
+    ph, pw = th * cfg.grid_rows, tw * cfg.grid_cols
+    score_p = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+    tiles = score_p.reshape(cfg.grid_rows, th, cfg.grid_cols, tw)
+    tiles = tiles.transpose(0, 2, 1, 3).reshape(-1, th * tw)
+    top_scores, top_idx = jax.lax.top_k(tiles, cfg.kp_per_tile)  # (T,k)
+
+    tile_r = jnp.arange(cfg.grid_rows * cfg.grid_cols) // cfg.grid_cols
+    tile_c = jnp.arange(cfg.grid_rows * cfg.grid_cols) % cfg.grid_cols
+    y = top_idx // tw + (tile_r * th)[:, None]
+    x = top_idx % tw + (tile_c * tw)[:, None]
+
+    xy = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1).astype(img.dtype)
+    scores = top_scores.reshape(-1)
+    mask = scores > 0.0
+
+    blurred = brief.gaussian_blur(img, cfg.blur_sigma)
+    patches = brief.extract_patches(blurred, xy, cfg.patch_size)
+    angles = brief.orientation(patches)
+    pattern = _pattern_for(cfg)
+    desc = brief._describe(patches, angles, pattern, cfg.brief_pairs)
+
+    return Features(xy=xy, score=scores, angle=angles, desc=desc, mask=mask)
+
+
+@functools.lru_cache(maxsize=8)
+def _pattern_np(n_pairs, radius, seed):
+    return brief.make_pattern(n_pairs, radius, seed)
+
+
+def _pattern_for(cfg: DetectorConfig):
+    return jnp.asarray(_pattern_np(cfg.brief_pairs, cfg.brief_radius,
+                                   cfg.pattern_seed))
+
+
+def detect_batch(imgs, cfg: DetectorConfig, valid_h=None, valid_w=None):
+    """vmapped detect over a leading batch axis."""
+    return jax.vmap(lambda im: detect(im, cfg, valid_h, valid_w))(imgs)

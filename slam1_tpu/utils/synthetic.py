@@ -1,0 +1,129 @@
+"""Synthetic stereo-sequence generator with exact ground truth.
+
+The reference is only runnable against a local KITTI download (hardcoded
+path, /root/reference/main.py:34); this module provides a self-contained
+substitute: a random textured 3D landmark field rendered into a rectified
+stereo pair along a known trajectory. Used by tests (oracle: GT poses /
+GT 3D points are exact) and by bench.py when no KITTI data is present.
+
+Rendering is a fixed-shape scatter-add of per-landmark texture patches at
+the projected pixel locations — fully jittable, so long benches can
+render on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam1_tpu.ops import se3
+from slam1_tpu.ops.camera import StereoCamera, project_stereo
+
+
+class SyntheticWorld(NamedTuple):
+    points: jnp.ndarray    # (P,3)   world-frame landmarks
+    patches: jnp.ndarray   # (P,ps,ps) texture stamped at each landmark
+    poses: jnp.ndarray     # (F,4,4) GT world-from-camera (left) poses
+    cam: StereoCamera
+
+
+def make_trajectory(n_frames: int, kind: str = "arc",
+                    speed: float = 1.0, dtype=jnp.float32) -> jnp.ndarray:
+    """(F,4,4) world-from-camera poses. Camera looks along +z.
+
+    kinds: 'straight' | 'arc' (gentle yaw) | 'loop' (returns near start).
+    """
+    if kind == "straight":
+        yaw_rate = 0.0
+    elif kind == "arc":
+        yaw_rate = 0.002
+    elif kind == "loop":
+        yaw_rate = 2.0 * np.pi / max(n_frames - 1, 1)
+    else:
+        raise ValueError(f"unknown trajectory kind: {kind}")
+    xi = jnp.tile(
+        jnp.array([0.0, 0.0, speed, 0.0, yaw_rate, 0.0], dtype),
+        (n_frames - 1, 1))
+    step = se3.exp_se3(xi)  # (F-1,4,4)
+
+    def scan_fn(T, dT):
+        T2 = T @ dT
+        return T2, T2
+
+    T0 = jnp.eye(4, dtype=dtype)
+    _, rest = jax.lax.scan(scan_fn, T0, step)
+    return jnp.concatenate([T0[None], rest], axis=0)
+
+
+def make_world(key, n_frames: int = 64, n_points: int = 4096,
+               trajectory: str = "arc", speed: float = 1.0,
+               cam: StereoCamera | None = None,
+               patch_size: int = 9, dtype=jnp.float32) -> SyntheticWorld:
+    if cam is None:
+        cam = StereoCamera.kitti_default(dtype)
+    poses = make_trajectory(n_frames, trajectory, speed, dtype)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # Anchor each landmark to a random frame's frustum so the whole
+    # trajectory stays covered.
+    anchor = jax.random.randint(k1, (n_points,), 0, n_frames)
+    local = jnp.stack([
+        jax.random.uniform(k2, (n_points,), dtype, -18.0, 18.0),
+        jax.random.uniform(jax.random.fold_in(k2, 1), (n_points,), dtype,
+                           -4.0, 3.0),
+        jax.random.uniform(jax.random.fold_in(k2, 2), (n_points,), dtype,
+                           6.0, 55.0),
+    ], axis=-1)
+    T = poses[anchor]                                   # (P,4,4)
+    pts = (T[:, :3, :3] @ local[..., None])[..., 0] + T[:, :3, 3]
+    # High-contrast random texture per landmark; centre boosted so FAST
+    # has a strong nucleus.
+    patches = jax.random.uniform(k3, (n_points, patch_size, patch_size),
+                                 dtype, 0.25, 1.0)
+    c = patch_size // 2
+    patches = patches.at[:, c, c].set(1.0)
+    return SyntheticWorld(pts, patches, poses, cam)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def render_frame(world: SyntheticWorld, frame_idx, height: int, width: int):
+    """Render the rectified stereo pair for one frame.
+
+    Returns (left, right) float32 (H,W) images in [0,1].
+    """
+    T_wc = world.poses[frame_idx]
+    X_cam = se3.transform_points(se3.inverse(T_wc), world.points)
+    uv_l, uv_r, in_front = project_stereo(world.cam, X_cam)
+    z = X_cam[..., 2]
+    vis = in_front & (z > 2.0) & (z < 90.0)
+
+    ps = world.patches.shape[-1]
+    r = ps // 2
+    dy = jnp.arange(-r, r + 1)
+    dx = jnp.arange(-r, r + 1)
+    oy, ox = jnp.meshgrid(dy, dx, indexing="ij")   # (ps,ps)
+
+    def splat(uv, valid):
+        cx = jnp.round(uv[..., 0]).astype(jnp.int32)
+        cy = jnp.round(uv[..., 1]).astype(jnp.int32)
+        inb = valid & (cx >= r) & (cx < width - r) & (cy >= r) & (cy < height - r)
+        yy = cy[:, None, None] + oy[None]
+        xx = cx[:, None, None] + ox[None]
+        vals = jnp.where(inb[:, None, None], world.patches, 0.0)
+        yy = jnp.clip(yy, 0, height - 1)
+        xx = jnp.clip(xx, 0, width - 1)
+        img = jnp.zeros((height, width), world.points.dtype)
+        # `max` rather than `add` so overlapping patches stay in [0,1]
+        # and the texture is stable under partial occlusion.
+        return img.at[yy, xx].max(vals)
+
+    return splat(uv_l, vis), splat(uv_r, vis)
+
+
+def render_sequence(world: SyntheticWorld, height: int, width: int):
+    """(F,H,W) left and right stacks (device arrays)."""
+    f = jax.vmap(lambda i: render_frame(world, i, height, width))
+    return f(jnp.arange(world.poses.shape[0]))

@@ -1,0 +1,24 @@
+"""Test harness: force JAX onto CPU with 8 virtual devices.
+
+This is the standard fake-multi-device setup (SURVEY.md §4): sharding /
+collective code paths are exercised on a virtual 8-device CPU mesh so
+multi-chip behaviour is testable without a pod slice. Must run before
+jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
