@@ -1,0 +1,178 @@
+"""Command-line interface: `slam run|ba|eval|bench`.
+
+The reference has no CLI (entry is `python main.py` with a hardcoded
+dataset path, /root/reference/main.py:34, and argparse imported but
+never used, bag_of_words.py:2). Subcommands:
+
+  run    — VO or full SLAM over a KITTI sequence dir or --synthetic
+  ba     — offline pose-graph/bundle-adjustment pass over a snapshot
+           (the counterpart of `python BundleAdjustment.py`)
+  eval   — ATE/RPE of an estimated trajectory vs ground truth
+  bench  — single-chip throughput microbench (same core as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    import jax
+    from slam1_tpu.config import SlamConfig, tiny_config
+    from slam1_tpu.models import pipeline, vo
+    from slam1_tpu.utils import evalmetrics
+    from slam1_tpu.utils.metrics import MetricsLogger, StageTimers
+
+    cfg = tiny_config() if args.tiny else SlamConfig()
+    log = MetricsLogger(args.metrics, every=args.log_every,
+                        stream=sys.stderr if args.verbose else None)
+    timers = StageTimers()
+
+    if args.synthetic:
+        from slam1_tpu.utils.synthetic import make_world, render_sequence
+        world = make_world(jax.random.PRNGKey(args.seed),
+                           n_frames=args.synthetic,
+                           trajectory=args.trajectory)
+        cam = world.cam
+        lefts, rights = render_sequence(world, cfg.image.height,
+                                        cfg.image.width)
+        gt = np.asarray(world.poses)
+        frames = ((np.asarray(lefts[i]), np.asarray(rights[i]))
+                  for i in range(args.synthetic))
+        n_frames = args.synthetic
+    else:
+        from slam1_tpu.utils.kitti import KittiSequence
+        seq = KittiSequence(args.data, (cfg.image.height, cfg.image.width),
+                            poses_path=args.poses,
+                            max_frames=args.max_frames)
+        cam, gt, frames, n_frames = seq.cam, seq.gt, seq.frames(), len(seq)
+
+    if args.vo_only:
+        import jax.numpy as jnp
+        state = None
+        poses = []
+        for i, (l, r) in enumerate(frames):
+            l, r = jnp.asarray(l), jnp.asarray(r)
+            with timers.stage("frame"):
+                if state is None:
+                    state = vo.init_state(l, r, cam, cfg, args.seed)
+                else:
+                    state, m = vo.vo_step(state, l, r, cam, cfg)
+                    log.log(frame=i, inliers=int(m.num_inliers),
+                            err=float(m.mean_reproj_err))
+            poses.append(np.asarray(state.T_w_cam))
+        poses = np.stack(poses)
+        system = None
+    else:
+        system = pipeline.SlamSystem(cam, cfg, seed=args.seed)
+        import jax.numpy as jnp
+        for i, (l, r) in enumerate(frames):
+            with timers.stage("frame"):
+                out = system.process(jnp.asarray(l), jnp.asarray(r))
+            if out is not None:
+                log.log(frame=i, inliers=int(out.num_inliers),
+                        chi2=float(out.loop_chi2))
+        poses = system.finalize()
+
+    if args.out:
+        np.save(args.out, poses)
+        print(f"saved trajectory: {args.out}", file=sys.stderr)
+    if gt is not None:
+        ate = evalmetrics.ate_rmse(poses, gt, align=not args.no_align)
+        t_rpe, r_rpe = evalmetrics.rpe(poses, gt)
+        result = {"frames": n_frames, "ate_rmse_m": ate,
+                  "rpe_trans_m": t_rpe, "rpe_rot_deg": r_rpe,
+                  "timing": timers.summary()}
+        if system is not None:
+            result["loop_closures"] = len(system.loop_edges)
+        print(json.dumps(result, default=float))
+    return 0
+
+
+def _cmd_eval(args):
+    from slam1_tpu.utils import evalmetrics
+    from slam1_tpu.utils.kitti import load_poses
+    est = np.load(args.est) if args.est.endswith(".npy") \
+        else load_poses(args.est)
+    gt = np.load(args.gt) if args.gt.endswith(".npy") else load_poses(args.gt)
+    print(json.dumps({
+        "ate_rmse_m": evalmetrics.ate_rmse(est, gt, align=not args.no_align),
+        "rpe": evalmetrics.rpe(est, gt, delta=args.delta),
+        "final_pose_diff": evalmetrics.final_pose_diff(est, gt).tolist(),
+    }))
+    return 0
+
+
+def _cmd_ba(args):
+    """Offline backend pass: load a trajectory, relax the pose graph."""
+    import jax.numpy as jnp
+    from slam1_tpu.models import posegraph
+    from slam1_tpu.ops import se3
+    poses = np.load(args.traj)
+    f = len(poses)
+    rel = se3.log_se3(jnp.asarray(
+        np.linalg.inv(poses[:-1]) @ poses[1:]))
+    ei = jnp.arange(f - 1, dtype=jnp.int32)
+    graph = posegraph.PoseGraph(
+        poses=jnp.asarray(poses), ei=ei, ej=ei + 1,
+        z=se3.exp_se3(rel), w=jnp.ones(f - 1, jnp.float32))
+    opt, cost = posegraph.optimize(graph, iters=args.iters)
+    np.save(args.out, np.asarray(opt))
+    print(json.dumps({"frames": f, "final_cost": float(cost)}))
+    return 0
+
+
+def _cmd_bench(args):
+    import bench
+    return bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="slam",
+                                description="TPU-native stereo SLAM")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run VO / full SLAM")
+    pr.add_argument("--data", help="KITTI sequence dir (image_0/, calib.txt)")
+    pr.add_argument("--poses", help="GT poses.txt for evaluation")
+    pr.add_argument("--synthetic", type=int, default=0,
+                    help="use N synthetic frames instead of --data")
+    pr.add_argument("--trajectory", default="arc",
+                    choices=["straight", "arc", "loop"])
+    pr.add_argument("--vo-only", action="store_true")
+    pr.add_argument("--tiny", action="store_true", help="tiny test config")
+    pr.add_argument("--max-frames", type=int)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--out", help="save trajectory .npy")
+    pr.add_argument("--metrics", help="JSONL metrics path")
+    pr.add_argument("--log-every", type=int, default=10)
+    pr.add_argument("--no-align", action="store_true")
+    pr.add_argument("--verbose", action="store_true")
+    pr.set_defaults(fn=_cmd_run)
+
+    pe = sub.add_parser("eval", help="ATE/RPE of est vs gt")
+    pe.add_argument("est")
+    pe.add_argument("gt")
+    pe.add_argument("--delta", type=int, default=1)
+    pe.add_argument("--no-align", action="store_true")
+    pe.set_defaults(fn=_cmd_eval)
+
+    pb = sub.add_parser("ba", help="offline pose-graph pass")
+    pb.add_argument("traj", help="trajectory .npy")
+    pb.add_argument("--out", default="optimized.npy")
+    pb.add_argument("--iters", type=int, default=10)
+    pb.set_defaults(fn=_cmd_ba)
+
+    pn = sub.add_parser("bench", help="single-chip throughput bench")
+    pn.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,9 @@ class DetectorConfig:
     grid_rows: int = 5
     grid_cols: int = 10
     kp_per_tile: int = 40          # per-tile top-k  (ref: 200 nfeatures/tile)
-    fast_threshold: float = 20.0   # FAST-9 intensity delta threshold
+    # Images are float32 in [0,1] everywhere in this framework (the
+    # KITTI loader divides by 255). 0.08 ~ the classic "20/255" delta.
+    fast_threshold: float = 0.08   # FAST-9 intensity delta threshold
     fast_arc: int = 9              # contiguous arc length for a corner
     nms_radius: int = 2            # local-max suppression window radius
     patch_size: int = 33           # descriptor/orientation patch edge
@@ -74,6 +76,11 @@ class TrackingConfig:
     gn_iters_polish: int = 10       # GN iterations on inlier set
     min_track_points: int = 8       # fall back to previous motion below this
     huber_delta: float = 2.0        # robust loss scale in polish, px
+    # Close/far point weighting. The reference computes close/far masks
+    # and then ignores them (sort_3D_points, main.py:92 — SURVEY C8);
+    # here far points can be down-weighted in the PnP polish (far points
+    # constrain rotation well but translation poorly). 1.0 = off.
+    far_weight: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,218 @@
+"""Bundle adjustment: batched Schur-complement Levenberg-Marquardt.
+
+Does for real what the reference's dormant BAL-style BA sketches in a
+string literal (/root/reference/BundleAdjustment.py:230-466: 9-param
+cameras + points, scipy TRF with a hand-built Jacobian sparsity mask)
+and what its active pose-only backend approximates (:107-183). No scipy
+on device — the TPU formulation (SURVEY.md §7 step 6):
+
+  - reprojection residuals + per-observation camera/landmark Jacobians
+    in one vmap (analytic structure via jacfwd at zero perturbation);
+  - Hessian blocks by segment-sum scatter: Hcc (C,6,6), Hll (L,3,3),
+    per-observation coupling W (O,6,3);
+  - per-landmark elimination: batched 3x3 inverses (the classic Schur
+    trick — landmark blocks are embarrassingly parallel);
+  - the reduced camera system solved MATRIX-FREE with block-Jacobi
+    preconditioned CG: each matvec is gather -> block products ->
+    segment-sum, so nothing bigger than (C,6,6) is ever materialized
+    and the observation axis shards cleanly across devices (the
+    distributed version psums the camera-side reductions; see
+    parallel/dist_ba.py);
+  - outer Levenberg-Marquardt with accept/reject damping and Huber
+    IRLS weights, fixed iteration counts throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slam1_tpu.config import BAConfig
+from slam1_tpu.ops import se3
+from slam1_tpu.ops.camera import StereoCamera
+from slam1_tpu.ops.cg import cg
+from slam1_tpu.ops.lsq import huber_weights
+
+
+class BAProblem(NamedTuple):
+    poses: jnp.ndarray    # (C,4,4) T_world_cam
+    points: jnp.ndarray   # (L,3) world landmarks
+    cam_idx: jnp.ndarray  # (O,) int32
+    lm_idx: jnp.ndarray   # (O,) int32
+    uv: jnp.ndarray       # (O,2) observed pixels (left camera)
+    w: jnp.ndarray        # (O,) observation weight; 0 = padding
+    ur: jnp.ndarray       # (O,) observed right-camera u (stereo)
+    wr: jnp.ndarray       # (O,) stereo weight; 0 = monocular obs
+
+
+def make_problem(poses, points, cam_idx, lm_idx, uv, w, ur=None, wr=None):
+    """BAProblem constructor; omitted ur/wr default to monocular."""
+    o = uv.shape[0]
+    if ur is None:
+        ur = jnp.zeros((o,), uv.dtype)
+    if wr is None:
+        wr = jnp.zeros((o,), uv.dtype)
+    return BAProblem(poses=poses, points=points, cam_idx=cam_idx,
+                     lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr)
+
+
+def _obs_residual(dc, dl, T, X, uv, ur, wr, cam: StereoCamera):
+    """Residual of one stereo observation under camera/landmark
+    perturbation: [u_left, v_left, right-u] errors. The third component
+    is gated by the per-observation stereo weight `wr` (0 = monocular);
+    stereo observations anchor the metric scale, which is otherwise a
+    gauge freedom of monocular BA (the reference's BAL formulation,
+    /root/reference/BundleAdjustment.py:317-350, is monocular and
+    scale-free)."""
+    Tc = T @ se3.exp_se3(dc)
+    Xw = X + dl
+    Xc = se3.transform_points(se3.inverse(Tc), Xw[None])[0]
+    z = jnp.maximum(Xc[2], 1e-3)
+    u = cam.fx * Xc[0] / z + cam.cx
+    v = cam.fy * Xc[1] / z + cam.cy
+    u_r = cam.fx * (Xc[0] - cam.baseline) / z + cam.cx
+    return jnp.stack([u - uv[0], v - uv[1], wr * (u_r - ur)])
+
+
+def _linearize(problem: BAProblem, cam: StereoCamera, w_irls):
+    """Residuals + per-obs Jacobian blocks at the current estimate."""
+    T = problem.poses[problem.cam_idx]
+    X = problem.points[problem.lm_idx]
+    o = problem.uv.shape[0]
+    zero6 = jnp.zeros((o, 6), problem.uv.dtype)
+    zero3 = jnp.zeros((o, 3), problem.uv.dtype)
+    ax = (0, 0, 0, 0, 0, 0, 0, None)
+    r = jax.vmap(_obs_residual, in_axes=ax)(
+        zero6, zero3, T, X, problem.uv, problem.ur, problem.wr, cam)  # (O,3)
+    Jc = jax.vmap(jax.jacfwd(_obs_residual, argnums=0), in_axes=ax)(
+        zero6, zero3, T, X, problem.uv, problem.ur, problem.wr, cam)  # (O,3,6)
+    Jl = jax.vmap(jax.jacfwd(_obs_residual, argnums=1), in_axes=ax)(
+        zero6, zero3, T, X, problem.uv, problem.ur, problem.wr, cam)  # (O,3,3)
+    return r, Jc, Jl, w_irls
+
+
+def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
+    """One damped GN step via landmark elimination + PCG.
+
+    Returns (delta_c (C,6), delta_l (L,3)).
+    """
+    C = problem.poses.shape[0]
+    L = problem.points.shape[0]
+    ci, li = problem.cam_idx, problem.lm_idx
+    w2 = w[:, None, None]
+
+    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oaj->oij", Jc, Jc) * w2)
+    Hll = jnp.zeros((L, 3, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oaj->oij", Jl, Jl) * w2)
+    W = jnp.einsum("oai,oaj->oij", Jc, Jl) * w2                   # (O,6,3)
+    bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oa->oi", Jc, r * w[:, None]))
+    bl = -jnp.zeros((L, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oa->oi", Jl, r * w[:, None]))
+
+    eye6 = jnp.eye(6, dtype=r.dtype)
+    eye3 = jnp.eye(3, dtype=r.dtype)
+    Hcc_d = Hcc + lam * _diag_only(Hcc) + 1e-6 * eye6
+    Hll_d = Hll + lam * _diag_only(Hll) + 1e-6 * eye3
+    Hll_inv = jnp.linalg.inv(Hll_d)                               # (L,3,3)
+
+    btil = bc - jnp.zeros((C, 6), r.dtype).at[ci].add(
+        jnp.einsum("oij,oj->oi", W,
+                   jnp.einsum("lij,lj->li", Hll_inv, bl)[li]))
+    btil = btil.at[0].set(0.0)                                    # gauge
+
+    def matvec(x):
+        u = jnp.einsum("oij,oi->oj", W, x[ci])                    # (O,3)
+        s = jnp.zeros((L, 3), r.dtype).at[li].add(u)
+        v = jnp.einsum("lij,lj->li", Hll_inv, s)
+        y = jnp.einsum("oij,oj->oi", W, v[li])                    # (O,6)
+        out = jnp.einsum("cij,cj->ci", Hcc_d, x)
+        out = out - jnp.zeros((C, 6), r.dtype).at[ci].add(y)
+        return out.at[0].set(x[0])                                # gauge
+
+    Minv = jnp.linalg.inv(Hcc_d)
+
+    def precond(v):
+        return jnp.einsum("cij,cj->ci", Minv, v)
+
+    dc = cg(matvec, btil, iters=cg_iters, precond=precond)
+    dc = dc.at[0].set(0.0)
+
+    u = jnp.einsum("oij,oi->oj", W, dc[ci])
+    s = jnp.zeros((L, 3), r.dtype).at[li].add(u)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - s)
+    return dc, dl
+
+
+def _diag_only(blocks):
+    d = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+    return jax.vmap(jnp.diag)(d)
+
+
+def _cost(problem: BAProblem, cam, huber_delta):
+    T = problem.poses[problem.cam_idx]
+    X = problem.points[problem.lm_idx]
+    o = problem.uv.shape[0]
+    zero6 = jnp.zeros((o, 6), problem.uv.dtype)
+    zero3 = jnp.zeros((o, 3), problem.uv.dtype)
+    r = jax.vmap(_obs_residual, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+        zero6, zero3, T, X, problem.uv, problem.ur, problem.wr, cam)
+    r2 = jnp.sum(r * r, axis=-1)
+    hw = huber_weights(r2, huber_delta)
+    return jnp.sum(problem.w * hw * r2), r, hw
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(problem: BAProblem, cam: StereoCamera,
+                  cfg: BAConfig) -> Tuple[BAProblem, jnp.ndarray]:
+    """Full LM bundle adjustment. Camera 0 is gauge-fixed.
+
+    Returns (optimized problem, final cost).
+    """
+    cost0, _, _ = _cost(problem, cam, cfg.huber_delta)
+
+    def lm_step(carry, _):
+        poses, points, lam, cost = carry
+        p = problem._replace(poses=poses, points=points)
+        _, r, hw = _cost(p, cam, cfg.huber_delta)
+        w = problem.w * hw
+        r_, Jc, Jl, w_ = _linearize(p, cam, w)
+        dc, dl = _schur_solve(p, r_, Jc, Jl, w_, lam, cfg.cg_iters)
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+        new_poses = poses @ se3.exp_se3(dc)
+        new_points = points + dl
+        new_cost, _, _ = _cost(
+            problem._replace(poses=new_poses, points=new_points), cam,
+            cfg.huber_delta)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam / cfg.lm_lambda_down,
+                        lam * cfg.lm_lambda_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (poses, points, lam, cost), cost
+
+    (poses, points, _, cost), _ = jax.lax.scan(
+        lm_step,
+        (problem.poses, problem.points,
+         jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
+        None, length=cfg.lm_iters)
+    return problem._replace(poses=poses, points=points), cost
+
+
+def window_problem(poses, points, cam_idx, lm_idx, uv, w,
+                   first_cam: int, n_cams: int, ur=None, wr=None):
+    """Restrict a BA problem to a camera window [first, first+n): weights
+    of out-of-window observations are zeroed; cameras outside stay fixed
+    because their deltas receive no residual support (and gauge pinning
+    keeps the solve well-posed)."""
+    in_win = (cam_idx >= first_cam) & (cam_idx < first_cam + n_cams)
+    return make_problem(poses=poses, points=points, cam_idx=cam_idx,
+                        lm_idx=lm_idx, uv=uv,
+                        w=jnp.where(in_win, w, 0.0), ur=ur, wr=wr)

@@ -1,0 +1,122 @@
+"""Bag-of-visual-words place recognition.
+
+Replaces the reference BoW class (/root/reference/bag_of_words.py:10-53):
+KMeans vocabulary over ORB descriptors, per-frame word histograms, and a
+chi-squared distance scan against all sufficiently-old frames
+(predict_previous, :29-42). Differences by design:
+
+  - The vocabulary trains on descriptors ACCUMULATED ONLINE from the
+    frames seen so far (a reservoir buffer), not on a full-sequence
+    pre-pass (ref quirk: main.py:43-44 trains on the entire sequence
+    before "online" operation — impossible in a live system).
+  - The chi^2 scan over the whole frame DB is one masked reduction on
+    device, O(F * K) elementwise — the reference's per-frame Python
+    loop grows O(i) per query (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slam1_tpu.config import BowConfig
+from slam1_tpu.ops.brief import unpack_bits_pm1
+from slam1_tpu.ops.kmeans import assign_words, kmeans_pm1
+
+
+class BowState(NamedTuple):
+    vocab: jnp.ndarray      # (K,D) float32 centroids in ±1 descriptor space
+    trained: jnp.ndarray    # () bool
+    db: jnp.ndarray         # (F,K) float32 L1-normalized histograms
+    db_mask: jnp.ndarray    # (F,) bool — frame has a histogram
+    reservoir: jnp.ndarray  # (R,D) float32 descriptor sample buffer
+    res_mask: jnp.ndarray   # (R,)
+    res_cursor: jnp.ndarray # () int32
+
+
+def init_bow(cfg: BowConfig, max_frames: int, desc_bits: int = 256,
+             reservoir: int = 8192) -> BowState:
+    return BowState(
+        vocab=jnp.zeros((cfg.num_words, desc_bits), jnp.float32),
+        trained=jnp.asarray(False),
+        db=jnp.zeros((max_frames, cfg.num_words), jnp.float32),
+        db_mask=jnp.zeros((max_frames,), bool),
+        reservoir=jnp.zeros((reservoir, desc_bits), jnp.float32),
+        res_mask=jnp.zeros((reservoir,), bool),
+        res_cursor=jnp.asarray(0, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_sample",))
+def accumulate(state: BowState, key, desc, mask,
+               n_sample: int = 128) -> BowState:
+    """Push a random sample of this frame's descriptors into the
+    reservoir (ring buffer)."""
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, mask.shape, minval=1e-9,
+                                             maxval=1.0)))
+    _, pick = jax.lax.top_k(jnp.where(mask, g, -jnp.inf), n_sample)
+    picked = unpack_bits_pm1(desc[pick]).astype(jnp.float32)
+    picked_ok = mask[pick]
+    r = state.reservoir.shape[0]
+    rows = (state.res_cursor + jnp.arange(n_sample)) % r
+    return state._replace(
+        reservoir=state.reservoir.at[rows].set(
+            jnp.where(picked_ok[:, None], picked, state.reservoir[rows])),
+        res_mask=state.res_mask.at[rows].set(
+            state.res_mask[rows] | picked_ok),
+        res_cursor=state.res_cursor + n_sample,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def train(state: BowState, key, cfg: BowConfig) -> BowState:
+    """Train the vocabulary on the reservoir (call once, host-triggered)."""
+    vocab, _ = kmeans_pm1(key, state.reservoir, state.res_mask,
+                          cfg.num_words, cfg.train_iters)
+    return state._replace(vocab=vocab, trained=jnp.asarray(True))
+
+
+def histogram(desc, mask, vocab):
+    """(N,32) packed descriptors -> (K,) L1-normalized word histogram."""
+    x = unpack_bits_pm1(desc).astype(jnp.float32)
+    words = assign_words(x, vocab)
+    k = vocab.shape[0]
+    onehot = jax.nn.one_hot(words, k, dtype=jnp.float32)
+    h = jnp.sum(onehot * mask[:, None].astype(jnp.float32), axis=0)
+    return h / jnp.maximum(jnp.sum(h), 1.0)
+
+
+@jax.jit
+def add_frame(state: BowState, frame_idx, desc, mask) -> BowState:
+    h = histogram(desc, mask, state.vocab)
+    row = jnp.minimum(frame_idx, state.db.shape[0] - 1)
+    return state._replace(
+        db=state.db.at[row].set(h),
+        db_mask=state.db_mask.at[row].set(state.trained),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query(state: BowState, frame_idx, desc, mask,
+          cfg: BowConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chi^2 scan against all frames older than `query_exclude`.
+
+    Returns (best_frame int32, best_dist float32); best_frame = -1 when
+    nothing eligible (matches ref predict_previous returning (-1,-1),
+    bag_of_words.py:33).
+    """
+    h = histogram(desc, mask, state.vocab)
+    diff2 = (state.db - h[None, :]) ** 2
+    denom = state.db + h[None, :] + 1e-10
+    chi2 = jnp.sum(diff2 / denom, axis=1)                   # (F,)
+    ages_ok = jnp.arange(state.db.shape[0]) <= frame_idx - cfg.query_exclude
+    eligible = state.db_mask & ages_ok & state.trained
+    chi2 = jnp.where(eligible, chi2, jnp.inf)
+    best = jnp.argmin(chi2)
+    best_val = chi2[best]
+    found = jnp.isfinite(best_val)
+    return (jnp.where(found, best, -1).astype(jnp.int32),
+            jnp.where(found, best_val, -1.0).astype(jnp.float32))

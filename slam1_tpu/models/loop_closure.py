@@ -1,0 +1,62 @@
+"""Loop closure: geometric verification + trajectory correction.
+
+Replaces /root/reference/loop_closure.py. The reference re-loads the
+raw loop-candidate images and re-runs its whole frontend on them
+(close_loop, :8-16); here the keyframe store already holds the
+candidate's triangulated features on device, so verification is one
+Hamming match + RANSAC-PnP against the current frame's features —
+no image re-processing.
+
+Correction: the reference smears translation error linearly over the
+intervening frames (:48-52). That fallback exists in
+posegraph.distribute_error_linear; the primary path adds a loop edge
+to the pose graph and relaxes it properly (models/posegraph.py).
+A failed verification returns ok=False instead of the reference's
+unguarded empty-list return (:33-36, crashes its caller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam1_tpu.config import SlamConfig
+from slam1_tpu.models.mapping import KeyframeStore
+from slam1_tpu.ops import hamming, se3
+from slam1_tpu.ops.camera import StereoCamera
+from slam1_tpu.ops.pnp import ransac_pnp
+from slam1_tpu.types import Features
+
+
+class LoopResult(NamedTuple):
+    T_cur_kf: jnp.ndarray     # (4,4) current camera from keyframe camera
+    T_w_corrected: jnp.ndarray  # (4,4) corrected world pose of current
+    num_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_loop(key, store: KeyframeStore, kf_idx, cur_feats: Features,
+                cam: StereoCamera, cfg: SlamConfig) -> LoopResult:
+    """Estimate the relative pose between loop keyframe and the current
+    frame (ref close_loop, loop_closure.py:7-36)."""
+    kf_xyz = store.xyz[kf_idx]          # (K,3) in keyframe camera frame
+    kf_desc = store.desc[kf_idx]
+    kf_mask = store.mask[kf_idx]
+
+    m = hamming.match(kf_desc, cur_feats.desc, kf_mask, cur_feats.mask,
+                      ratio=cfg.matcher.ratio,
+                      max_distance=cfg.matcher.max_hamming,
+                      cross_check=cfg.matcher.cross_check)
+    valid = m.mask & kf_mask
+    uv_cur = cur_feats.xy[m.idx]
+
+    pnp = ransac_pnp(key, kf_xyz, uv_cur, valid, cam, cfg.tracking)
+    # World pose implied by the loop: T_w_cur = T_w_kf @ inv(T_cur_kf)
+    T_w_kf = store.poses[kf_idx]
+    T_corr = T_w_kf @ se3.inverse(pnp.T)
+    return LoopResult(T_cur_kf=pnp.T, T_w_corrected=T_corr,
+                      num_inliers=pnp.num_inliers, ok=pnp.ok)

@@ -45,12 +45,20 @@ def temporal_track(key, prev_obs: StereoObservations, cur_feats: Features,
                       max_distance=cfg.matcher.max_hamming,
                       cross_check=cfg.matcher.cross_check)
     # Range gate on the 3D magnitude (ref Point3D.py:44-47).
-    rng_ok = jnp.linalg.norm(prev_obs.xyz, axis=-1) < cfg.tracking.max_point_range
+    ranges = jnp.linalg.norm(prev_obs.xyz, axis=-1)
+    rng_ok = ranges < cfg.tracking.max_point_range
     valid = m.mask & prev_obs.mask & rng_ok
+
+    # Close/far weighting (the live version of the reference's unused
+    # sort_3D_points, SURVEY C8): far points keep full weight for
+    # rotation-rich information only when far_weight == 1.
+    close = ranges < cfg.tracking.close_range
+    pw = jnp.where(close, 1.0, cfg.tracking.far_weight).astype(
+        prev_obs.xyz.dtype)
 
     uv_cur = cur_feats.xy[m.idx]
     pnp = ransac_pnp(key, prev_obs.xyz, uv_cur, valid, cam, cfg.tracking,
-                     xi_init=xi_prior)
+                     xi_init=xi_prior, point_weights=pw)
     return TrackResult(pnp=pnp, num_candidates=jnp.sum(valid),
                        match_idx=m.idx, match_mask=valid)
 

@@ -36,6 +36,15 @@ class StereoCamera(NamedTuple):
         return StereoCamera.create(718.856, 718.856, 607.1928, 185.2157,
                                    0.5371657, dtype)
 
+    @staticmethod
+    def for_canvas(height: int, width: int, dtype=jnp.float32):
+        """KITTI-like rig rescaled to an arbitrary canvas (same FOV and
+        baseline, principal point at the canvas centre) — used by tests
+        and synthetic benches on small images."""
+        fx = 718.856 * (width / 1226.0)
+        return StereoCamera.create(fx, fx, width / 2.0, height / 2.0,
+                                   0.5371657, dtype)
+
     @property
     def K(self):
         z = jnp.zeros_like(self.fx)

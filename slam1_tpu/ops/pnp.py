@@ -75,7 +75,7 @@ def _reproj_err2(xi, X, uv, cam):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def ransac_pnp(key, X, uv, mask, cam: StereoCamera, cfg: TrackingConfig,
-               xi_init=None) -> PnPResult:
+               xi_init=None, point_weights=None) -> PnPResult:
     """RANSAC PnP over masked correspondences.
 
     Args:
@@ -85,6 +85,8 @@ def ransac_pnp(key, X, uv, mask, cam: StereoCamera, cfg: TrackingConfig,
       xi_init: optional (6,) twist prior (e.g. previous frame motion)
         used to seed every hypothesis — KITTI-style smooth motion makes
         GN from a motion prior at 6 points converge in a few steps.
+      point_weights: optional (N,) soft weights applied in the polish
+        stage (e.g. close/far range weighting, SURVEY C8).
     """
     n = X.shape[0]
     k = cfg.ransac_iters
@@ -117,10 +119,13 @@ def ransac_pnp(key, X, uv, mask, cam: StereoCamera, cfg: TrackingConfig,
     # Polish on the inlier set with Huber IRLS weights.
     inl_best = inl[best]
 
+    pw = jnp.ones_like(mask, X.dtype) if point_weights is None \
+        else point_weights
+
     def polish_weights(xi):
         e2p = _reproj_err2(xi, X, uv, cam)
         hw = huber_weights(e2p, cfg.huber_delta)
-        return jnp.repeat(hw * inl_best, 2)
+        return jnp.repeat(hw * inl_best * pw, 2)
 
     xi_pol = _gn_refine(xi_best, X, uv, mask.astype(X.dtype), cam,
                         cfg.gn_iters_polish, extra_weights=polish_weights)

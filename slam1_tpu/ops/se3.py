@@ -36,31 +36,42 @@ def vee(W):
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def _safe_theta(phi):
+    """Gradient-safe rotation angle: (theta, theta2, small_mask), each
+    shaped (...,1,1). The double-where trick keeps d(sqrt)/d(phi) finite
+    at phi = 0 — critical because RANSAC/BA jacfwd through exp at the
+    zero perturbation."""
+    th2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
+    small = th2 < 1e-8
+    theta = jnp.sqrt(jnp.where(small, 1.0, th2))
+    return theta, th2, small
+
+
 def exp_so3(phi):
     """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation matrix."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]  # (...,1,1)
+    theta, th2, small = _safe_theta(phi)
     K = hat(phi)
     K2 = K @ K
-    th2 = theta * theta
     # Taylor-safe coefficients sin(t)/t and (1-cos t)/t^2.
-    small = theta < 1e-4
-    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(theta) / (theta + _EPS))
-    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / (th2 + _EPS))
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / th2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + a * K + b * K2
 
 
 def log_so3(R):
-    """(...,3,3) rotation -> (...,3) axis-angle."""
+    """(...,3,3) rotation -> (...,3) axis-angle (gradient-safe at I)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)[..., None]
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    small = theta < 1e-4
-    # Near pi sin(theta)->0: fall back to the diagonal formula.
-    near_pi = theta > (jnp.pi - 1e-3)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0,
-                      theta / jnp.maximum(jnp.sin(theta), _EPS))
+    # sin(theta) from |w| with a safe sqrt; theta via atan2 (finite
+    # derivatives at theta = 0, unlike arccos).
+    s2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = (s2 < 1e-10) & (cos_t[..., None] > 0.0)
+    sin_t = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(sin_t, cos_t[..., None])
+    near_pi = cos_t[..., None] < -0.999995
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_t)
     generic = w * scale
     # theta ~ pi: axis from diagonal of (R + I)/2 = axis axis^T (1-cos)=2aa^T-...
     B = (R + jnp.eye(3, dtype=R.dtype)) * 0.5
@@ -75,15 +86,13 @@ def log_so3(R):
 
 
 def _v_matrix(phi):
-    """Left Jacobian V of SE(3) exp: t = V @ rho."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    """Left Jacobian V of SE(3) exp: t = V @ rho (gradient-safe at 0)."""
+    theta, th2, small = _safe_theta(phi)
     K = hat(phi)
     K2 = K @ K
-    th2 = theta * theta
-    small = theta < 1e-4
-    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / (th2 + _EPS))
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / th2)
     c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
-                  (theta - jnp.sin(theta)) / (th2 * theta + _EPS))
+                  (theta - jnp.sin(theta)) / (th2 * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + b * K + c * K2
 

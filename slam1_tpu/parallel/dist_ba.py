@@ -1,0 +1,221 @@
+"""Distributed Schur-complement bundle adjustment.
+
+The multi-chip version of models/ba.py (BASELINE config 5): landmarks
+and their observations are partitioned into per-device blocks along the
+mesh axis "lm" (the keyframe/map-block sharding of SURVEY.md §7 step 8);
+camera states are replicated. Inside shard_map each device:
+
+  - linearizes its local observations,
+  - eliminates its local landmark 3x3 blocks (batched inverse),
+  - contributes its camera-side reductions (Hcc blocks, gradient, and
+    the Schur matvec correction) via jax.lax.psum over "lm".
+
+The reduced camera system is solved with the same preconditioned CG as
+the single-chip path — each CG matvec contains exactly one psum of a
+(C,6) vector, so communication is O(C) per iteration regardless of
+observation count: the classic distributed-BA communication pattern
+(reduce camera system, keep landmarks local).
+
+Constraint: `lm_idx` must be LOCAL indices into each shard's landmark
+block (the partitioner guarantees observations live with their
+landmark). Cameras may be observed from any shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from slam1_tpu.config import BAConfig
+from slam1_tpu.models.ba import BAProblem, _diag_only, _linearize
+from slam1_tpu.ops import se3
+from slam1_tpu.ops.camera import StereoCamera
+from slam1_tpu.ops.cg import cg
+from slam1_tpu.ops.lsq import huber_weights
+
+
+def partition_problem(problem: BAProblem, n_shards: int
+                      ) -> Tuple[BAProblem, jnp.ndarray]:
+    """Re-index a BAProblem into `n_shards` landmark blocks.
+
+    Landmarks are block-partitioned by index; observations are routed to
+    their landmark's shard and padded to equal per-shard counts.
+    Returns (problem with [shard-local] points/obs stacked shard-major,
+    original landmark index per shard row) — all host-side numpy work.
+    """
+    import numpy as np
+    L = problem.points.shape[0]
+    Lk = -(-L // n_shards)
+    O = problem.uv.shape[0]
+    lm = np.asarray(problem.lm_idx)
+    shard_of = lm // Lk
+    per_shard = [np.nonzero(shard_of == s)[0] for s in range(n_shards)]
+    Ok = max(max((len(p) for p in per_shard), default=1), 1)
+
+    cam_idx = np.zeros((n_shards, Ok), np.int32)
+    lm_local = np.zeros((n_shards, Ok), np.int32)
+    uv = np.zeros((n_shards, Ok, 2), np.float32)
+    w = np.zeros((n_shards, Ok), np.float32)
+    ur = np.zeros((n_shards, Ok), np.float32)
+    wr = np.zeros((n_shards, Ok), np.float32)
+    for s, rows in enumerate(per_shard):
+        k = len(rows)
+        cam_idx[s, :k] = np.asarray(problem.cam_idx)[rows]
+        lm_local[s, :k] = lm[rows] - s * Lk
+        uv[s, :k] = np.asarray(problem.uv)[rows]
+        w[s, :k] = np.asarray(problem.w)[rows]
+        ur[s, :k] = np.asarray(problem.ur)[rows]
+        wr[s, :k] = np.asarray(problem.wr)[rows]
+
+    pts = np.zeros((n_shards, Lk, 3), np.float32)
+    flat = np.asarray(problem.points)
+    orig = np.zeros((n_shards, Lk), np.int32)
+    for s in range(n_shards):
+        lo, hi = s * Lk, min((s + 1) * Lk, L)
+        pts[s, :hi - lo] = flat[lo:hi]
+        orig[s, :hi - lo] = np.arange(lo, hi)
+
+    return (BAProblem(poses=problem.poses, points=jnp.asarray(pts),
+                      cam_idx=jnp.asarray(cam_idx),
+                      lm_idx=jnp.asarray(lm_local), uv=jnp.asarray(uv),
+                      w=jnp.asarray(w), ur=jnp.asarray(ur),
+                      wr=jnp.asarray(wr)),
+            jnp.asarray(orig))
+
+
+def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
+                      lam, cfg: BAConfig):
+    """Runs per-device inside shard_map. Leading shard axis of size 1 on
+    the local arguments is squeezed."""
+    points = points[0]
+    cam_idx = cam_idx[0]
+    lm_idx = lm_idx[0]
+    uv = uv[0]
+    w = w[0]
+    ur = ur[0]
+    wr = wr[0]
+
+    C = poses.shape[0]
+    Lk = points.shape[0]
+    local = BAProblem(poses=poses, points=points, cam_idx=cam_idx,
+                      lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr)
+
+    # Huber IRLS weights from current residuals.
+    from slam1_tpu.models.ba import _obs_residual
+    T = poses[cam_idx]
+    X = points[lm_idx]
+    o = uv.shape[0]
+    zero6 = jnp.zeros((o, 6), uv.dtype)
+    zero3 = jnp.zeros((o, 3), uv.dtype)
+    r = jax.vmap(_obs_residual, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+        zero6, zero3, T, X, uv, ur, wr, cam)
+    r2 = jnp.sum(r * r, axis=-1)
+    w_irls = w * huber_weights(r2, cfg.huber_delta)
+    cost_local = jnp.sum(w_irls * r2)
+    cost = jax.lax.psum(cost_local, "lm")
+
+    _, Jc, Jl, _ = _linearize(local, cam, w_irls)
+    w2 = w_irls[:, None, None]
+    ci, li = cam_idx, lm_idx
+
+    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oaj->oij", Jc, Jc) * w2)
+    Hcc = jax.lax.psum(Hcc, "lm")
+    Hll = jnp.zeros((Lk, 3, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oaj->oij", Jl, Jl) * w2)
+    W = jnp.einsum("oai,oaj->oij", Jc, Jl) * w2
+    bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oa->oi", Jc, r * w_irls[:, None]))
+    bc = jax.lax.psum(bc, "lm")
+    bl = -jnp.zeros((Lk, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oa->oi", Jl, r * w_irls[:, None]))
+
+    eye6 = jnp.eye(6, dtype=r.dtype)
+    eye3 = jnp.eye(3, dtype=r.dtype)
+    Hcc_d = Hcc + lam * _diag_only(Hcc) + 1e-6 * eye6
+    Hll_d = Hll + lam * _diag_only(Hll) + 1e-6 * eye3
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    corr = jnp.zeros((C, 6), r.dtype).at[ci].add(
+        jnp.einsum("oij,oj->oi", W,
+                   jnp.einsum("lij,lj->li", Hll_inv, bl)[li]))
+    btil = bc - jax.lax.psum(corr, "lm")
+    btil = btil.at[0].set(0.0)
+
+    def matvec(x):
+        u = jnp.einsum("oij,oi->oj", W, x[ci])
+        s = jnp.zeros((Lk, 3), r.dtype).at[li].add(u)
+        v = jnp.einsum("lij,lj->li", Hll_inv, s)
+        y = jnp.zeros((C, 6), r.dtype).at[ci].add(
+            jnp.einsum("oij,oj->oi", W, v[li]))
+        y = jax.lax.psum(y, "lm")                 # one (C,6) psum per CG step
+        out = jnp.einsum("cij,cj->ci", Hcc_d, x) - y
+        return out.at[0].set(x[0])
+
+    Minv = jnp.linalg.inv(Hcc_d)
+    dc = cg(matvec, btil, iters=cfg.cg_iters,
+            precond=lambda v: jnp.einsum("cij,cj->ci", Minv, v))
+    dc = dc.at[0].set(0.0)
+
+    u = jnp.einsum("oij,oi->oj", W, dc[ci])
+    s = jnp.zeros((Lk, 3), r.dtype).at[li].add(u)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - s)
+
+    return dc, dl[None], cost
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
+                              cfg: BAConfig, mesh: Mesh):
+    """LM loop around the sharded GN step. `problem` must be produced by
+    `partition_problem` with n_shards == mesh.shape['lm'].
+
+    Returns (problem with optimized poses/points, final cost).
+    """
+    spec_sh = P("lm")
+    spec_rep = P()
+
+    step = shard_map(
+        functools.partial(_local_shard_step, cfg=cfg),
+        mesh=mesh,
+        in_specs=(spec_rep, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
+                  spec_sh, spec_sh, spec_rep, spec_rep),
+        out_specs=(spec_rep, spec_sh, spec_rep),
+        check_rep=False,
+    )
+
+    def lm_iter(carry, _):
+        poses, points, lam, cost = carry
+        dc, dl, _ = step(poses, points, problem.cam_idx, problem.lm_idx,
+                         problem.uv, problem.w, problem.ur, problem.wr,
+                         cam, lam)
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+        new_poses = poses @ se3.exp_se3(dc)
+        new_points = points + dl
+        _, _, new_cost = step(new_poses, new_points, problem.cam_idx,
+                              problem.lm_idx, problem.uv, problem.w,
+                              problem.ur, problem.wr, cam,
+                              jnp.zeros_like(lam))
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam / cfg.lm_lambda_down,
+                                 lam * cfg.lm_lambda_up), 1e-9, 1e6)
+        return (poses, points, lam, cost), cost
+
+    _, _, cost0 = step(problem.poses, problem.points, problem.cam_idx,
+                       problem.lm_idx, problem.uv, problem.w, problem.ur,
+                       problem.wr, cam, jnp.asarray(0.0, problem.uv.dtype))
+    (poses, points, _, cost), _ = jax.lax.scan(
+        lm_iter,
+        (problem.poses, problem.points,
+         jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
+        None, length=cfg.lm_iters)
+    return problem._replace(poses=poses, points=points), cost

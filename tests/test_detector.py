@@ -9,7 +9,8 @@ from slam1_tpu.utils.synthetic import make_world, render_frame
 
 def test_detect_shapes_and_masks(rng):
     cfg = tiny_config()
-    world = make_world(rng, n_frames=4, n_points=600)
+    world = make_world(rng, n_frames=4, n_points=600,
+                       image_hw=(cfg.image.height, cfg.image.width))
     left, _ = render_frame(world, 0, cfg.image.height, cfg.image.width)
     feats = detector.detect(left, cfg.detector)
     n = cfg.detector.max_kp
@@ -30,7 +31,8 @@ def test_detect_finds_rendered_landmarks(rng):
     from slam1_tpu.ops import se3
     from slam1_tpu.ops.camera import project_stereo
     cfg = tiny_config()
-    world = make_world(rng, n_frames=4, n_points=400)
+    world = make_world(rng, n_frames=4, n_points=400,
+                       image_hw=(cfg.image.height, cfg.image.width))
     left, _ = render_frame(world, 1, cfg.image.height, cfg.image.width)
     feats = detector.detect(left, cfg.detector)
     X_cam = se3.transform_points(se3.inverse(world.poses[1]), world.points)
@@ -40,15 +42,18 @@ def test_detect_finds_rendered_landmarks(rng):
            & (uv[:, 1] > 20) & (uv[:, 1] < cfg.image.height - 20))
     uv = uv[inb]
     kp = np.asarray(feats.xy)[np.asarray(feats.mask)]
-    # fraction of detections within 2px of a true landmark projection
+    # Detections land on texture corners anywhere inside a landmark's
+    # 9x9 stamped patch, so require proximity to the patch region (its
+    # half-diagonal ~6.4 px), not to the exact centre.
     d = np.linalg.norm(kp[:, None, :] - uv[None, :, :], axis=-1).min(1)
-    assert (d < 2.0).mean() > 0.6
+    assert (d < 7.0).mean() > 0.8, (d < 7.0).mean()
 
 
 def test_stereo_matching_recovers_disparity(rng):
     """L/R detections of the same frame should match with consistent rows."""
     cfg = tiny_config()
-    world = make_world(rng, n_frames=4, n_points=400)
+    world = make_world(rng, n_frames=4, n_points=400,
+                       image_hw=(cfg.image.height, cfg.image.width))
     left, right = render_frame(world, 0, cfg.image.height, cfg.image.width)
     fl = detector.detect(left, cfg.detector)
     fr = detector.detect(right, cfg.detector)
@@ -67,7 +72,8 @@ def test_stereo_matching_recovers_disparity(rng):
 
 def test_detect_batch(rng):
     cfg = tiny_config()
-    world = make_world(rng, n_frames=2, n_points=200)
+    world = make_world(rng, n_frames=2, n_points=200,
+                       image_hw=(cfg.image.height, cfg.image.width))
     l0, _ = render_frame(world, 0, cfg.image.height, cfg.image.width)
     l1, _ = render_frame(world, 1, cfg.image.height, cfg.image.width)
     batch = jnp.stack([l0, l1])

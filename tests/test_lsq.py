@@ -74,5 +74,5 @@ def test_lm_never_increases_cost():
 def test_huber_weights():
     r2 = jnp.array([0.0, 1.0, 4.0, 100.0])
     w = np.asarray(lsq.huber_weights(r2, delta=2.0))
-    np.testing.assert_allclose(w[:3], 1.0)
-    np.testing.assert_allclose(w[3], 0.2)
+    np.testing.assert_allclose(w[:3], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(w[3], 0.2, rtol=1e-6)

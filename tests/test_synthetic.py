@@ -26,17 +26,17 @@ def test_loop_returns_to_start():
 
 
 def test_render_produces_texture(rng):
-    world = make_world(rng, n_frames=8, n_points=512)
+    world = make_world(rng, n_frames=8, n_points=512, image_hw=(128, 256))
     left, right = render_frame(world, 0, 128, 256)
     assert left.shape == (128, 256)
-    assert float(left.max()) == 1.0
+    assert float(left.max()) > 0.5  # subpixel shift smears the 1.0 peak
     assert float((left > 0).mean()) > 0.005
     assert float((right > 0).mean()) > 0.005
 
 
 def test_rendered_geometry_consistent(rng):
     """Projected GT landmarks triangulate back to GT 3D."""
-    world = make_world(rng, n_frames=4, n_points=256)
+    world = make_world(rng, n_frames=4, n_points=256, image_hw=(128, 256))
     T = world.poses[1]
     X_cam = se3.transform_points(se3.inverse(T), world.points)
     uv_l, uv_r, valid = project_stereo(world.cam, X_cam)

@@ -15,7 +15,8 @@ def sequence():
     key = jax.random.PRNGKey(42)
     cfg = tiny_config()
     world = make_world(key, n_frames=12, n_points=1500, trajectory="arc",
-                       speed=0.8)
+                       speed=0.8,
+                       image_hw=(cfg.image.height, cfg.image.width))
     lefts, rights = render_sequence(world, cfg.image.height, cfg.image.width)
     return cfg, world, lefts, rights
 
