@@ -118,6 +118,11 @@ class BAConfig:
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 2.0
     huber_delta: float = 2.0        # robust reprojection loss, px
+    # Hard IRLS rejection: observations whose residual norm exceeds this
+    # (px) get weight 0 for the iteration (Huber alone leaves gross
+    # outliers a constant gradient pull; the reference's dormant BA
+    # clamps them the same way, BundleAdjustment.py:339-350). 0 = off.
+    outlier_px: float = 16.0
     pg_iters: int = 25              # pose-graph GN iterations
     pg_loop_weight: float = 1000.0  # loop constraint weight (ref :140-141)
     # per-axis motion-prior weights, ref BundleAdjustment.py:124-129

@@ -175,11 +175,20 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
     """
     cost0, _, _ = _cost(problem, cam, cfg.huber_delta)
 
-    def lm_step(carry, _):
+    def lm_step(carry, t):
         poses, points, lam, cost = carry
         p = problem._replace(poses=poses, points=points)
         _, r, hw = _cost(p, cam, cfg.huber_delta)
         w = problem.w * hw
+        if cfg.outlier_px:
+            # Graduated hard rejection (GNC-style truncated loss): the
+            # cut starts 8x loose so a poor initial guess isn't starved
+            # of support, and tightens to outlier_px over iterations
+            # (see BAConfig.outlier_px).
+            cut = cfg.outlier_px * jnp.maximum(
+                1.0, 8.0 * 0.5 ** t.astype(r.dtype))
+            r2 = jnp.sum(r * r, axis=-1)
+            w = w * (r2 < cut * cut)
         r_, Jc, Jl, w_ = _linearize(p, cam, w)
         dc, dl = _schur_solve(p, r_, Jc, Jl, w_, lam, cfg.cg_iters)
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
@@ -202,7 +211,7 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         lm_step,
         (problem.poses, problem.points,
          jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
-        None, length=cfg.lm_iters)
+        jnp.arange(cfg.lm_iters))
     return problem._replace(poses=poses, points=points), cost
 
 

@@ -20,6 +20,7 @@ import numpy as np
 
 from slam1_tpu.config import DetectorConfig
 from slam1_tpu.ops import brief, fast
+from slam1_tpu.ops.dispatch import use_pallas as _use_pallas
 from slam1_tpu.types import Features
 
 
@@ -37,7 +38,12 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
     if valid_w is None:
         valid_w = w
 
-    score = fast.fast_score(img, cfg.fast_threshold, arc=cfg.fast_arc)
+    if _use_pallas():
+        from slam1_tpu.ops import pallas_kernels
+        score = pallas_kernels.fast_score(img, cfg.fast_threshold,
+                                          arc=cfg.fast_arc)
+    else:
+        score = fast.fast_score(img, cfg.fast_threshold, arc=cfg.fast_arc)
     score = fast.nms(score, cfg.nms_radius)
 
     ys = jnp.arange(h)[:, None]

@@ -12,7 +12,8 @@ the systolic array makes the exhaustive product essentially free at
 SLAM problem sizes (2k x 2k x 256 int8 MACs ≈ 1 GMAC).
 
 A fused Pallas variant (matmul + top-2 in VMEM, never materializing the
-distance matrix in HBM) lives in ops/pallas_kernels.py.
+distance matrix in HBM) lives in ops/pallas_kernels.py and is selected
+automatically on TPU backends.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from slam1_tpu.ops.brief import unpack_bits_pm1
+from slam1_tpu.ops.dispatch import use_pallas as _use_pallas
 from slam1_tpu.types import Matches
 
 _BIG = jnp.int32(1 << 20)
@@ -52,16 +54,24 @@ def match(desc_a, desc_b, mask_a=None, mask_b=None, *, ratio=0.8,
     Mirrors the reference's knn(k=2) + 0.7-ratio filter
     (keypoint.py:44-51) plus an absolute distance gate.
     """
-    d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
-    # Two smallest distances per row == two largest of -d.
-    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
-    best = idx_top2[:, 0]
+    n, m = desc_a.shape[0], desc_b.shape[0]
+    if _use_pallas() and n % 128 == 0 and m % 128 == 0:
+        from slam1_tpu.ops.pallas_kernels import hamming_top2
+        ma = (jnp.ones((n,), bool) if mask_a is None else mask_a)
+        mb = (jnp.ones((m,), bool) if mask_b is None else mask_b)
+        d1, d2, best, col_best = hamming_top2(
+            unpack_bits_pm1(desc_a), unpack_bits_pm1(desc_b), ma, mb)
+    else:
+        d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
+        # Two smallest distances per row == two largest of -d.
+        neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+        d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+        best = idx_top2[:, 0]
+        col_best = jnp.argmin(d, axis=0)           # (M,)
     ok = (d1 <= max_distance) & (d1.astype(jnp.float32)
                                  < ratio * d2.astype(jnp.float32))
     if cross_check:
-        col_best = jnp.argmin(d, axis=0)           # (M,)
-        ok = ok & (col_best[best] == jnp.arange(d.shape[0]))
+        ok = ok & (col_best[best] == jnp.arange(n))
     if mask_a is not None:
         ok = ok & mask_a
     return Matches(idx=best, distance=d1, mask=ok)

@@ -29,7 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from slam1_tpu.config import BAConfig
 from slam1_tpu.models.ba import BAProblem, _diag_only, _linearize

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup, so
+# JAX_PLATFORMS from the env was already captured — override via config
+# (effective as long as no backend has been initialized yet).
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
