@@ -84,6 +84,31 @@ class TrackingConfig:
 
 
 @dataclass(frozen=True)
+class FlowConfig:
+    # Pyramidal LK temporal tracking (ref visual_odometry.py:26-29 LK
+    # params, :98-111 err<4 gate on [0,255] images -> 4/255 here).
+    win: int = 11
+    levels: int = 3
+    iters: int = 10
+    max_err: float = 4.0 / 255.0
+    blur_sigma: float = 1.0         # pre-LK smoothing
+
+
+@dataclass(frozen=True)
+class DisparityConfig:
+    # Dense stereo disparity (ref SGBM block=11, 32 disparities,
+    # visual_odometry.py:19-23; KITTI needs more range, default 64).
+    max_disp: int = 64
+    radius: int = 5                 # block = 2*radius+1 (ref block=11)
+    sgm: bool = True                # 2-pass semi-global aggregation
+    p1: float = 0.03
+    p2: float = 0.45
+    lr_check: bool = True
+    lr_tol: float = 1.0
+    uniq_ratio: float = 0.98
+
+
+@dataclass(frozen=True)
 class MappingConfig:
     # Fixed-capacity world map with voxel-hash dedup (replaces the ref's
     # per-frame KDTree rebuild, keypoint.py:102-122).
@@ -145,6 +170,8 @@ class SlamConfig:
     image: ImageConfig = field(default_factory=ImageConfig)
     detector: DetectorConfig = field(default_factory=DetectorConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    disparity: DisparityConfig = field(default_factory=DisparityConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
     bow: BowConfig = field(default_factory=BowConfig)
@@ -166,4 +193,5 @@ def tiny_config() -> SlamConfig:
         bow=BowConfig(num_words=16, train_iters=6, query_exclude=10,
                       sample_desc_per_frame=32),
         tracking=TrackingConfig(ransac_iters=64),
+        disparity=DisparityConfig(max_disp=32, radius=3),
     )

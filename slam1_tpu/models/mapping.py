@@ -75,18 +75,42 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
       (new state, (N,) int32 landmark row of each input, -1 if dropped).
     """
     n = xyz_world.shape[0]
-    h0 = _voxel_hash(xyz_world, cfg.voxel_size, cfg.hash_size)
+    # Hash grid: at least the merge-ball diameter, so that the ball
+    # [x-r, x+r] spans at most 2 voxels per axis and probing the 8
+    # corner voxels is guaranteed to cover every voxel intersecting it.
+    # (A near-duplicate observed from the next frame routinely lands
+    # across a voxel boundary; probing only the point's own voxel
+    # misses it.)
+    vs = max(cfg.voxel_size, 2.0 * cfg.merge_radius)
+    h0 = _voxel_hash(xyz_world, vs, cfg.hash_size)
+
+    r = cfg.merge_radius
+    r2 = r * r
+    lo = jnp.floor((xyz_world - r) / vs).astype(jnp.int32)
+    hi = jnp.floor((xyz_world + r) / vs).astype(jnp.int32)
 
     merge_row = jnp.full((n,), -1, jnp.int32)
     free_bucket = jnp.full((n,), -1, jnp.int32)
-    r2 = cfg.merge_radius * cfg.merge_radius
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                v = jnp.stack([hi[:, 0] if cx else lo[:, 0],
+                               hi[:, 1] if cy else lo[:, 1],
+                               hi[:, 2] if cz else lo[:, 2]], axis=-1)
+                hc = (v[:, 0] * _P1) ^ (v[:, 1] * _P2) ^ (v[:, 2] * _P3)
+                hc = jnp.abs(hc) % cfg.hash_size
+                for p in range(cfg.probes):
+                    bucket = (hc + p) % cfg.hash_size
+                    slot = state.hash_slot[bucket]          # (N,)
+                    occ = slot >= 0
+                    cand = state.xyz[jnp.maximum(slot, 0)]
+                    near = occ & (jnp.sum((cand - xyz_world) ** 2, -1) < r2)
+                    merge_row = jnp.where((merge_row < 0) & near, slot,
+                                          merge_row)
+    # New landmarks are inserted on their OWN voxel's probe chain.
     for p in range(cfg.probes):
         bucket = (h0 + p) % cfg.hash_size
-        slot = state.hash_slot[bucket]                      # (N,)
-        occ = slot >= 0
-        cand = state.xyz[jnp.maximum(slot, 0)]
-        near = occ & (jnp.sum((cand - xyz_world) ** 2, -1) < r2)
-        merge_row = jnp.where((merge_row < 0) & near, slot, merge_row)
+        occ = state.hash_slot[bucket] >= 0
         free_bucket = jnp.where((free_bucket < 0) & ~occ, bucket,
                                 free_bucket)
 
@@ -177,15 +201,22 @@ def init_kf_store(max_frames: int, k: int, desc_bytes: int = 32,
 def kf_insert(store: KeyframeStore, obs: StereoObservations, pose,
               k: int) -> KeyframeStore:
     """Keep the k best (valid-first) stereo observations of this frame."""
-    # Order: valid first (stable top-k on the mask).
+    # Order: valid first (stable top-k on the mask). If the frame holds
+    # fewer than k observations, pad with masked-out repeats of slot 0.
+    n = obs.mask.shape[0]
     scores = obs.mask.astype(jnp.float32)
-    _, idx = jax.lax.top_k(scores, k)
+    _, idx = jax.lax.top_k(scores, min(k, n))
+    sel_mask = obs.mask[idx]
+    if n < k:
+        idx = jnp.concatenate([idx, jnp.zeros(k - n, idx.dtype)])
+        sel_mask = jnp.concatenate(
+            [sel_mask, jnp.zeros(k - n, sel_mask.dtype)])
     row = jnp.minimum(store.n, store.xyz.shape[0] - 1)
     return store._replace(
         xyz=store.xyz.at[row].set(obs.xyz[idx]),
         desc=store.desc.at[row].set(obs.desc[idx]),
         uv=store.uv.at[row].set(obs.uv_l[idx]),
-        mask=store.mask.at[row].set(obs.mask[idx]),
+        mask=store.mask.at[row].set(sel_mask),
         poses=store.poses.at[row].set(pose),
         n=store.n + 1,
     )

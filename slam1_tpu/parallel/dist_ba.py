@@ -186,7 +186,6 @@ def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
         in_specs=(spec_rep, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
                   spec_sh, spec_sh, spec_rep, spec_rep),
         out_specs=(spec_rep, spec_sh, spec_rep),
-        check_rep=False,
     )
 
     def lm_iter(carry, _):

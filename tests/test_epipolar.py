@@ -15,7 +15,7 @@ def two_view_problem(seed=0, n=128, outliers=0):
     T = se3.exp_se3(jnp.asarray([0.3, 0.05, 0.5, 0.02, 0.04, 0.01]))
     uv1, _ = project(cam, jnp.asarray(X))
     uv2, _ = project(cam, se3.transform_points(T, jnp.asarray(X)))
-    uv2 = np.asarray(uv2)
+    uv2 = np.array(uv2)  # writable copy (np.asarray of a jax array is read-only)
     if outliers:
         sel = rng.choice(n, outliers, replace=False)
         uv2[sel] += rng.uniform(20, 60, (outliers, 2))
