@@ -30,10 +30,13 @@ class ImageConfig:
 class DetectorConfig:
     # Tiled detection for spatial spread (ref orb.py:4 uses 5x10 tiles
     # with 50% overlap; we use a non-overlapping grid + per-tile top-k,
-    # which achieves the same spread with static shapes).
-    grid_rows: int = 5
-    grid_cols: int = 10
-    kp_per_tile: int = 40          # per-tile top-k  (ref: 200 nfeatures/tile)
+    # which achieves the same spread with static shapes). The grid is
+    # chosen so max_kp (= rows*cols*kp) is a multiple of 128: descriptor
+    # capacity then tiles exactly onto the fused Pallas Hamming matcher
+    # and the MXU (8*16*16 = 2048).
+    grid_rows: int = 8
+    grid_cols: int = 16
+    kp_per_tile: int = 16          # per-tile top-k  (ref: 200 nfeatures/tile)
     # Images are float32 in [0,1] everywhere in this framework (the
     # KITTI loader divides by 255). 0.08 ~ the classic "20/255" delta.
     fast_threshold: float = 0.08   # FAST-9 intensity delta threshold

@@ -30,10 +30,13 @@ from slam1_tpu.types import Features, StereoObservations
 def stereo_frontend(left, right, cam: StereoCamera,
                     cfg: SlamConfig) -> Tuple[Features, StereoObservations]:
     """-> (left Features, StereoObservations aligned to left's capacity)."""
-    feats_l = detector.detect(left, cfg.detector,
-                              cfg.image.valid_height, cfg.image.valid_width)
-    feats_r = detector.detect(right, cfg.detector,
-                              cfg.image.valid_height, cfg.image.valid_width)
+    # One vmapped launch for both images: doubles the batch of every
+    # frontend contraction instead of running two half-sized programs.
+    feats2 = jax.vmap(lambda im: detector.detect(
+        im, cfg.detector, cfg.image.valid_height,
+        cfg.image.valid_width))(jnp.stack([left, right]))
+    feats_l = jax.tree.map(lambda a: a[0], feats2)
+    feats_r = jax.tree.map(lambda a: a[1], feats2)
 
     m = hamming.match(feats_l.desc, feats_r.desc, feats_l.mask, feats_r.mask,
                       ratio=cfg.matcher.ratio,

@@ -24,6 +24,45 @@ from slam1_tpu.ops.dispatch import use_pallas as _use_pallas
 from slam1_tpu.types import Features
 
 
+def _extract_patches_tiled(blurred, ty, tx, gr: int, gc: int, th: int,
+                           tw: int, patch: int):
+    """(P,P) patches for per-tile keypoints via tile-local one-hot matmuls.
+
+    ty/tx: (T, k) int32 tile-local keypoint coords, T = gr*gc.
+
+    Per-keypoint patch gathers serialize on TPU (~1 elem/cycle; a
+    2000x33x33 gather cost ~23 ms). Keypoints come from a per-tile
+    top-k, so the selection is re-expressed as two one-hot contractions
+    against each keypoint's own (th+patch-1, tw+patch-1) halo tile —
+    MXU/memory-bound work at <0.2 ms for 2048 keypoints. Exact up to
+    matmul rounding (one nonzero term per one-hot row).
+    """
+    m = patch // 2
+    h, w = blurred.shape
+    ph, pw = th * gr, tw * gc
+    hh, hw_ = th + 2 * m, tw + 2 * m
+    bp = jnp.pad(blurred, ((m, m + ph - h), (m, m + pw - w)))
+    bands = jnp.stack([bp[r * th:r * th + hh, :] for r in range(gr)])
+    tiles = jnp.stack([bands[:, :, c * tw:c * tw + hw_] for c in range(gc)],
+                      axis=1)                       # (gr, gc, HH, HW)
+    timg = tiles.reshape(gr * gc, hh, hw_)
+
+    offs = jnp.arange(patch)
+    rows = ty[:, :, None] + offs                    # (T,k,P) in [0, th+2m)
+    cols = tx[:, :, None] + offs
+    dt = blurred.dtype
+    r1 = (rows[..., None] == jnp.arange(hh)).astype(dt)    # (T,k,P,HH)
+    c1 = (cols[..., None] == jnp.arange(hw_)).astype(dt)   # (T,k,P,HW)
+    # DEFAULT (bf16-pass) precision, overriding the global "highest"
+    # pin (runtime.py): selection matmuls have one nonzero term per row,
+    # so the only error is the bf16 rounding of the pixel value (2^-9),
+    # irrelevant to corner patches.
+    prec = jax.lax.Precision.DEFAULT
+    u = jnp.einsum("tkph,thw->tkpw", r1, timg, precision=prec)
+    patches = jnp.einsum("tkpw,tkqw->tkpq", u, c1, precision=prec)
+    return patches.reshape(-1, patch, patch)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
     """Detect + describe on one (H,W) float32 image.
@@ -64,15 +103,18 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
 
     tile_r = jnp.arange(cfg.grid_rows * cfg.grid_cols) // cfg.grid_cols
     tile_c = jnp.arange(cfg.grid_rows * cfg.grid_cols) % cfg.grid_cols
-    y = top_idx // tw + (tile_r * th)[:, None]
-    x = top_idx % tw + (tile_c * tw)[:, None]
+    ty = top_idx // tw                              # tile-local coords
+    tx = top_idx % tw
+    y = ty + (tile_r * th)[:, None]
+    x = tx + (tile_c * tw)[:, None]
 
     xy = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1).astype(img.dtype)
     scores = top_scores.reshape(-1)
     mask = scores > 0.0
 
     blurred = brief.gaussian_blur(img, cfg.blur_sigma)
-    patches = brief.extract_patches(blurred, xy, cfg.patch_size)
+    patches = _extract_patches_tiled(blurred, ty, tx, cfg.grid_rows,
+                                     cfg.grid_cols, th, tw, cfg.patch_size)
     angles = brief.orientation(patches)
     pattern = _pattern_for(cfg)
     desc = brief._describe(patches, angles, pattern, cfg.brief_pairs)

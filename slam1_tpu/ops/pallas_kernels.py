@@ -45,25 +45,32 @@ def _hamming_kernel(bits, a_ref, b_ref, ma_ref, mb_ref, d1_ref, d2_ref,
                     idx_ref, cmin_ref, carg_ref):
     i = pl.program_id(0)
     tn = a_ref.shape[0]
-    # (TN, M) similarity on the MXU; d = (bits - sim) / 2.
+    # (TN, M) similarity on the MXU; d = (bits - sim) / 2. Descriptors
+    # are {-1,+1} in bf16 (Mosaic has no int8 matmul path): products are
+    # exact and |sim| <= bits < 2^24, so the f32 accumulation is exact.
+    # B arrives pre-transposed (bits, M): Mosaic only lowers the
+    # standard (m,k)@(k,n) contraction.
+    # Explicit DEFAULT precision: the framework pins the global default
+    # to "highest" (runtime.py), which Mosaic rejects for bf16 operands.
     sim = jax.lax.dot_general(
-        a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    d = (bits - sim) >> 1
-    d = jnp.where(mb_ref[:] > 0, d, _BIG)           # (1,M) mask broadcast
-    d = jnp.where(ma_ref[0][:, None] > 0, d, _BIG)  # invalid A rows
+        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    d = (bits - sim) * 0.5
+    d = jnp.where(mb_ref[:] > 0, d, float(_BIG))           # (1,M) broadcast
+    d = jnp.where(ma_ref[0][:, None] > 0, d, float(_BIG))  # invalid A rows
 
-    # Row-wise best / second-best / argbest.
+    # Row-wise best / second-best / argbest (Mosaic argmin needs f32).
     d1 = jnp.min(d, axis=1)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    d2 = jnp.min(jnp.where(cols == idx[:, None], _BIG, d), axis=1)
-    d1_ref[0, :] = d1
-    d2_ref[0, :] = d2
+    d2 = jnp.min(jnp.where(cols == idx[:, None], float(_BIG), d), axis=1)
+    d1_ref[0, :] = d1.astype(jnp.int32)
+    d2_ref[0, :] = d2.astype(jnp.int32)
     idx_ref[0, :] = idx
 
     # Column-wise running argmin across row tiles (sequential grid).
-    cmin_t = jnp.min(d, axis=0)                     # (M,)
+    cmin_t = jnp.min(d, axis=0).astype(jnp.int32)   # (M,)
     carg_t = jnp.argmin(d, axis=0).astype(jnp.int32) + i * tn
 
     @pl.when(i == 0)
@@ -97,6 +104,8 @@ def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, interpret: bool = False):
     tn = 128
     assert n % tn == 0 and m % 128 == 0, (n, m)
     grid = n // tn
+    a_pm1 = a_pm1.astype(jnp.bfloat16)   # ±1: exact; Mosaic lacks int8 mmul
+    b_t = b_pm1.astype(jnp.bfloat16).T   # (bits, M) for the (m,k)@(k,n) MXU
 
     d1, d2, idx, _, carg = pl.pallas_call(
         functools.partial(_hamming_kernel, int(bits)),
@@ -104,27 +113,31 @@ def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((tn, bits), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, bits), lambda i: (0, 0),
+            pl.BlockSpec((bits, m), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tn), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # Row-wise outputs live in one (1, N) row so every block
+            # shape is (1, tn) with the leading dim equal to the full
+            # array dim (Mosaic requires the last two block dims to be
+            # (8,128)-divisible or equal to the array's).
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid, tn), jnp.int32),
-            jax.ShapeDtypeStruct((grid, tn), jnp.int32),
-            jax.ShapeDtypeStruct((grid, tn), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
         ],
         interpret=interpret,
-    )(a_pm1, b_pm1, mask_a.astype(jnp.int32).reshape(1, n),
+    )(a_pm1, b_t, mask_a.astype(jnp.int32).reshape(1, n),
       mask_b.astype(jnp.int32).reshape(1, m))
     return (d1.reshape(n), d2.reshape(n), idx.reshape(n), carg.reshape(m))
 
