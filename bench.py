@@ -50,6 +50,33 @@ def measure_ours(lefts, rights, cam, cfg):
     return n / dt
 
 
+def measure_slam(lefts, rights, cam, cfg):
+    """Full SLAM pipeline fps: frontend + tracking + mapping + BoW +
+    loop-trigger polling + windowed local BA cadence (r1 VERDICT #4:
+    the shipped pipeline must be benched, not just VO)."""
+    import jax
+
+    from slam1_tpu.models import pipeline
+
+    # Warm pass over the whole clip: compiles every jit the pipeline can
+    # reach (slam_step, BoW train/backfill, windowed local BA).
+    warm = pipeline.SlamSystem(cam, cfg, bow_train_frame=8)
+    for i in range(lefts.shape[0]):
+        warm.process(lefts[i], rights[i])
+    jax.block_until_ready(warm.state.T_w_cam)
+
+    sys_ = pipeline.SlamSystem(cam, cfg, bow_train_frame=8)
+    sys_.process(lefts[0], rights[0])
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(1, lefts.shape[0]):
+        sys_.process(lefts[i], rights[i])
+        n += 1
+    jax.block_until_ready(sys_.state.T_w_cam)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def measure_reference_equivalent(lefts_np, rights_np, cam):
     """OpenCV pipeline shaped like the reference's hot loop."""
     try:
@@ -136,6 +163,7 @@ def main():
     jax.block_until_ready(lefts)
 
     fps = measure_ours(lefts, rights, world.cam, cfg)
+    slam_fps = measure_slam(lefts, rights, world.cam, cfg)
 
     cache_path = os.path.join(_REPO, ".bench_baseline.json")
     baseline_fps = None
@@ -158,6 +186,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs == vs else None,
+        "slam_frames_per_s_per_chip": round(slam_fps, 3),
     }))
     return 0
 

@@ -119,9 +119,21 @@ class MappingConfig:
     hash_size: int = 1 << 18        # voxel hash buckets
     voxel_size: float = 0.5         # metres
     merge_radius: float = 0.5       # merge-if-closer threshold, metres
+    merge_desc_gate: int = 64       # max Hamming distance (of 256 bits)
+                                    # for a positional hash merge; 0 = off
     probes: int = 4                 # linear probes on hash collision
-    obs_capacity: int = 1 << 20     # observation record capacity
-    keyframe_every: int = 1         # ref promotes every frame (main.py:121)
+    obs_per_frame: int = 512        # observation record slots per frame
+    # Keyframe policy (the lifecycle /root/reference/local_mapping.py:2-7
+    # only sketches; ref main.py:121 promotes every frame): a frame is a
+    # keyframe when `keyframe_every` frames passed since the last one OR
+    # translation since the last keyframe exceeds keyframe_trans (m).
+    keyframe_every: int = 1
+    keyframe_trans: float = 0.0     # 0 disables the motion trigger
+    # Landmark culling: drop landmarks seen < cull_min_obs times once
+    # they are > cull_max_age frames stale. 0 disables.
+    cull_min_obs: int = 2
+    cull_max_age: int = 60
+    cull_every: int = 32            # host cadence of the cull pass
     max_frames: int = 8192          # trajectory buffer capacity
 
 
@@ -132,8 +144,21 @@ class BowConfig:
     train_iters: int = 12           # Lloyd iterations
     query_exclude: int = 100        # don't match frames newer than this
                                     # (ref bow_threshold, main.py:40)
-    chi2_accept: float = 45.0       # loop trigger (ref main.py:100)
+    # Loop trigger threshold. The reference compares chi^2 of RAW-COUNT
+    # histograms against 45 (main.py:100); our histograms are
+    # L1-normalized, bounding chi^2 to [0,2], so the equivalent gate is
+    # a fraction of that range (calibrated on the synthetic loop /
+    # straight trajectories in tests/test_pipeline.py; geometric
+    # RANSAC verification provides the precision backstop).
+    chi2_accept: float = 0.15
     rearm_frames: int = 100         # re-arm delay after a closure (main.py:106)
+    backfill_desc_per_frame: int = 512  # descriptor sample stored per frame
+                                    # for post-training DB backfill; the
+                                    # backfilled histogram's chi^2 noise is
+                                    # ~(num_words-1)/(2*this)
+    loop_poll_every: int = 4        # host polls the device trigger flag
+                                    # every N frames (avoids a per-frame
+                                    # device->host sync)
     sample_desc_per_frame: int = 128  # descriptors sampled per frame for vocab
 
 
@@ -141,6 +166,9 @@ class BowConfig:
 class BAConfig:
     # Backend optimization (ref BundleAdjustment.py).
     window: int = 5                 # local BA keyframe window
+    local_every: int = 5            # run windowed local BA every N keyframes
+                                    # inside SlamSystem (0 disables)
+    local_lm_iters: int = 4         # LM iterations for the local window
     lm_iters: int = 15              # Levenberg-Marquardt outer iterations
     lm_lambda0: float = 1e-3
     lm_lambda_up: float = 4.0
@@ -192,9 +220,9 @@ def tiny_config() -> SlamConfig:
                           valid_width=256),
         detector=DetectorConfig(grid_rows=2, grid_cols=4, kp_per_tile=24),
         mapping=MappingConfig(capacity=1 << 12, hash_size=1 << 13,
-                              obs_capacity=1 << 14, max_frames=512),
-        bow=BowConfig(num_words=16, train_iters=6, query_exclude=10,
-                      sample_desc_per_frame=32),
+                              obs_per_frame=192, max_frames=512),
+        bow=BowConfig(num_words=64, train_iters=6, query_exclude=10,
+                      sample_desc_per_frame=64, backfill_desc_per_frame=192),
         tracking=TrackingConfig(ransac_iters=64),
         disparity=DisparityConfig(max_disp=32, radius=3),
     )

@@ -35,6 +35,11 @@ class BowState(NamedTuple):
     reservoir: jnp.ndarray  # (R,D) float32 descriptor sample buffer
     res_mask: jnp.ndarray   # (R,)
     res_cursor: jnp.ndarray # () int32
+    # Per-frame packed-descriptor sample, kept so frames seen BEFORE the
+    # vocabulary trains can be backfilled into the DB with low sampling
+    # noise (chi^2 noise ~ (K-1)/(2*S); S must be >> num_words).
+    frame_desc: jnp.ndarray  # (F,S,Db) uint8
+    frame_mask: jnp.ndarray  # (F,S) bool
 
 
 def init_bow(cfg: BowConfig, max_frames: int, desc_bits: int = 256,
@@ -47,6 +52,11 @@ def init_bow(cfg: BowConfig, max_frames: int, desc_bits: int = 256,
         reservoir=jnp.zeros((reservoir, desc_bits), jnp.float32),
         res_mask=jnp.zeros((reservoir,), bool),
         res_cursor=jnp.asarray(0, jnp.int32),
+        frame_desc=jnp.zeros(
+            (max_frames, cfg.backfill_desc_per_frame, desc_bits // 8),
+            jnp.uint8),
+        frame_mask=jnp.zeros(
+            (max_frames, cfg.backfill_desc_per_frame), bool),
     )
 
 
@@ -90,12 +100,59 @@ def histogram(desc, mask, vocab):
 
 
 @jax.jit
-def add_frame(state: BowState, frame_idx, desc, mask) -> BowState:
+def add_frame(state: BowState, key, frame_idx, desc, mask,
+              is_kf=True) -> BowState:
+    """Insert this frame's histogram + descriptor sample; gated on
+    keyframe status (only keyframes have a snapshot for geometric
+    verification)."""
     h = histogram(desc, mask, state.vocab)
-    row = jnp.minimum(frame_idx, state.db.shape[0] - 1)
+    ok = jnp.asarray(is_kf)
+    row = jnp.where(ok, jnp.minimum(frame_idx, state.db.shape[0] - 1),
+                    state.db.shape[0])            # OOB -> dropped
+    # Uniform random sample of valid descriptors for future backfill.
+    s = state.frame_desc.shape[1]
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, mask.shape, minval=1e-9,
+                                             maxval=1.0)))
+    _, pick = jax.lax.top_k(jnp.where(mask, g, -jnp.inf),
+                            min(s, mask.shape[0]))
+    picked = desc[pick]
+    picked_ok = mask[pick]
+    if mask.shape[0] < s:
+        pad = s - mask.shape[0]
+        picked = jnp.concatenate(
+            [picked, jnp.zeros((pad,) + picked.shape[1:], picked.dtype)])
+        picked_ok = jnp.concatenate([picked_ok, jnp.zeros(pad, bool)])
     return state._replace(
-        db=state.db.at[row].set(h),
-        db_mask=state.db_mask.at[row].set(state.trained),
+        db=state.db.at[row].set(h, mode="drop"),
+        db_mask=state.db_mask.at[row].set(state.trained, mode="drop"),
+        frame_desc=state.frame_desc.at[row].set(picked, mode="drop"),
+        frame_mask=state.frame_mask.at[row].set(picked_ok, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def backfill_chunk(state: BowState, start, chunk: int) -> BowState:
+    """Give pre-training frames a DB row after train() fires.
+
+    The reference trains on the whole sequence up front so every frame
+    is queryable (/root/reference/main.py:43-44, bag_of_words.py:29-42);
+    the online design must instead backfill histograms for frames seen
+    before the vocabulary existed — exactly the frames a KITTI-00-style
+    loop returns to. Histograms come from each frame's stored
+    descriptor sample (frame_desc). Processes rows [start, start+chunk).
+    """
+    f_cap = state.db.shape[0]
+    rows = jnp.asarray(start, jnp.int32) + jnp.arange(chunk)
+    rows_c = jnp.clip(rows, 0, f_cap - 1)
+    d = state.frame_desc[rows_c]
+    m = state.frame_mask[rows_c]
+    h = jax.vmap(lambda dd, mm: histogram(dd, mm, state.vocab))(d, m)
+    ok = (state.trained & ~state.db_mask[rows_c] & jnp.any(m, axis=1)
+          & (rows < f_cap))
+    rows_w = jnp.where(ok, rows_c, f_cap)
+    return state._replace(
+        db=state.db.at[rows_w].set(h, mode="drop"),
+        db_mask=state.db_mask.at[rows_w].set(True, mode="drop"),
     )
 
 

@@ -39,13 +39,21 @@ class LoopResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def verify_loop(key, store: KeyframeStore, kf_idx, cur_feats: Features,
+def verify_loop(key, store: KeyframeStore, cand_frame, cur_feats: Features,
                 cam: StereoCamera, cfg: SlamConfig) -> LoopResult:
     """Estimate the relative pose between loop keyframe and the current
-    frame (ref close_loop, loop_closure.py:7-36)."""
+    frame (ref close_loop, loop_closure.py:7-36).
+
+    `cand_frame` is a FRAME index (as returned by the BoW query); the
+    keyframe row is looked up via store.row_of_frame. A frame with no
+    keyframe snapshot yields ok=False (empty mask)."""
+    cand_frame = jnp.asarray(cand_frame).astype(jnp.int32)
+    row = store.row_of_frame[
+        jnp.clip(cand_frame, 0, store.row_of_frame.shape[0] - 1)]
+    kf_idx = jnp.clip(row, 0, store.xyz.shape[0] - 1)
     kf_xyz = store.xyz[kf_idx]          # (K,3) in keyframe camera frame
     kf_desc = store.desc[kf_idx]
-    kf_mask = store.mask[kf_idx]
+    kf_mask = store.mask[kf_idx] & (row >= 0) & (cand_frame >= 0)
 
     m = hamming.match(kf_desc, cur_feats.desc, kf_mask, cur_feats.mask,
                       ratio=cfg.matcher.ratio,

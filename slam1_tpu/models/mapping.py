@@ -37,10 +37,17 @@ class MapState(NamedTuple):
     desc: jnp.ndarray       # (CAP,D) uint8 descriptor of first observation
     count: jnp.ndarray      # (CAP,) int32 merged-observation count
     valid: jnp.ndarray      # (CAP,) bool
-    hash_slot: jnp.ndarray  # (H,) int32 bucket -> landmark row, -1 empty
+    hash_slot: jnp.ndarray  # (H+1,) int32 bucket -> landmark row, -1 empty;
+                            # bucket H is a write-off scratch slot so masked
+                            # scatters never clobber a real bucket
     cursor: jnp.ndarray     # () int32 next free row
-    obs: jnp.ndarray        # (OBS_CAP,4) float32 [frame, landmark, u, v]
-    obs_cursor: jnp.ndarray # () int32
+    last_frame: jnp.ndarray # (CAP,) int32 frame of last observation
+    # Observation records in fixed PER-FRAME slots [frame, landmark, u, v]
+    # (+uv_r/stereo weight via `obs_ur`): a window of keyframes for local
+    # BA is then a static slice of rows — no compaction, no host sync.
+    obs: jnp.ndarray        # (F, OPF, 4) float32
+    obs_ur: jnp.ndarray     # (F, OPF) float32 right-camera u (stereo term)
+    obs_count: jnp.ndarray  # (F,) int32 filled slots per frame
 
 
 def init_map(cfg: MappingConfig, desc_bytes: int = 32,
@@ -50,10 +57,12 @@ def init_map(cfg: MappingConfig, desc_bytes: int = 32,
         desc=jnp.zeros((cfg.capacity, desc_bytes), jnp.uint8),
         count=jnp.zeros((cfg.capacity,), jnp.int32),
         valid=jnp.zeros((cfg.capacity,), bool),
-        hash_slot=jnp.full((cfg.hash_size,), -1, jnp.int32),
+        hash_slot=jnp.full((cfg.hash_size + 1,), -1, jnp.int32),
         cursor=jnp.asarray(0, jnp.int32),
-        obs=jnp.zeros((cfg.obs_capacity, 4), dtype),
-        obs_cursor=jnp.asarray(0, jnp.int32),
+        last_frame=jnp.zeros((cfg.capacity,), jnp.int32),
+        obs=jnp.zeros((cfg.max_frames, cfg.obs_per_frame, 4), dtype),
+        obs_ur=jnp.zeros((cfg.max_frames, cfg.obs_per_frame), dtype),
+        obs_count=jnp.zeros((cfg.max_frames,), jnp.int32),
     )
 
 
@@ -65,12 +74,24 @@ def _voxel_hash(xyz, voxel_size: float, hash_size: int):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
-           cfg: MappingConfig) -> Tuple[MapState, jnp.ndarray]:
+           cfg: MappingConfig, uv_r_u=None, obs_row=None,
+           known_row=None) -> Tuple[MapState, jnp.ndarray]:
     """Merge-or-insert a batch of world points.
 
     Args:
       xyz_world: (N,3) points, desc: (N,D), mask: (N,), uv: (N,2) pixel
       observation in this frame (for the observation record).
+      frame_idx: () int32 frame index (lifecycle bookkeeping: last_frame).
+      uv_r_u: optional (N,) right-camera u coordinate (stereo BA term).
+      obs_row: () int32 row of the observation table to append to
+        (defaults to frame_idx; the pipeline passes the KEYFRAME row so
+        windowed BA can slice keyframe rows statically).
+      known_row: optional (N,) int32 landmark row each input is ALREADY
+        associated with (-1 = unknown). The pipeline threads these
+        through the temporal tracker's inlier matches, so a re-observed
+        landmark keeps its identity via descriptor matching + RANSAC —
+        far stronger data association than the 3D-radius hash merge,
+        and the source of multi-frame co-visibility for BA.
     Returns:
       (new state, (N,) int32 landmark row of each input, -1 if dropped).
     """
@@ -89,7 +110,13 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     lo = jnp.floor((xyz_world - r) / vs).astype(jnp.int32)
     hi = jnp.floor((xyz_world + r) / vs).astype(jnp.int32)
 
-    merge_row = jnp.full((n,), -1, jnp.int32)
+    # Track-inherited associations take priority over the hash probe.
+    if known_row is not None:
+        kr = jnp.asarray(known_row).astype(jnp.int32)
+        k_ok = (kr >= 0) & (kr < state.xyz.shape[0])
+        merge_row = jnp.where(k_ok, kr, -1)
+    else:
+        merge_row = jnp.full((n,), -1, jnp.int32)
     free_bucket = jnp.full((n,), -1, jnp.int32)
     for cx in (0, 1):
         for cy in (0, 1):
@@ -105,6 +132,16 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
                     occ = slot >= 0
                     cand = state.xyz[jnp.maximum(slot, 0)]
                     near = occ & (jnp.sum((cand - xyz_world) ** 2, -1) < r2)
+                    if cfg.merge_desc_gate > 0:
+                        # Appearance gate: positional proximity alone
+                        # merges distinct points under drift and feeds
+                        # BA inconsistent tracks; require descriptor
+                        # agreement too.
+                        cd = state.desc[jnp.maximum(slot, 0)]
+                        hd = jnp.sum(jax.lax.population_count(
+                            jnp.bitwise_xor(cd, desc)).astype(jnp.int32),
+                            axis=-1)
+                        near = near & (hd <= cfg.merge_desc_gate)
                     merge_row = jnp.where((merge_row < 0) & near, slot,
                                           merge_row)
     # New landmarks are inserted on their OWN voxel's probe chain.
@@ -124,7 +161,9 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     fits = new_row < state.xyz.shape[0]
     is_new = is_new & fits
 
-    # --- merges: running-mean position + count bump.
+    frame_i = jnp.asarray(frame_idx).astype(jnp.int32)
+    # --- merges: running-mean position + count bump. A merge also
+    # revives a culled landmark (re-observation = still useful).
     mrow = jnp.where(is_merge, merge_row, 0)
     add_cnt = is_merge.astype(jnp.int32)
     count = state.count.at[mrow].add(add_cnt)
@@ -133,6 +172,9 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     delta = (xyz_world - state.xyz[mrow]) / new_cnt[:, None]
     xyz = state.xyz.at[mrow].add(
         jnp.where(is_merge[:, None], delta, 0.0))
+    valid = state.valid.at[mrow].set(state.valid[mrow] | is_merge)
+    last_frame = state.last_frame.at[mrow].set(
+        jnp.where(is_merge, frame_i, state.last_frame[mrow]))
 
     # --- inserts.
     nrow = jnp.where(is_new, new_row, state.xyz.shape[0] - 1)
@@ -141,36 +183,63 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     desc_tbl = state.desc.at[nrow].set(
         jnp.where(is_new[:, None], desc, state.desc[nrow]))
     count = count.at[nrow].set(jnp.where(is_new, 1, count[nrow]))
-    valid = state.valid.at[nrow].set(
-        jnp.where(is_new, True, state.valid[nrow]))
-    hash_slot = state.hash_slot.at[
-        jnp.where(is_new, free_bucket, cfg.hash_size - 1)].set(
-        jnp.where(is_new, nrow, state.hash_slot[
-            jnp.where(is_new, free_bucket, cfg.hash_size - 1)]))
+    valid = valid.at[nrow].set(jnp.where(is_new, True, valid[nrow]))
+    last_frame = last_frame.at[nrow].set(
+        jnp.where(is_new, frame_i, last_frame[nrow]))
+    # Masked rows scatter into the scratch bucket H (never a real one —
+    # bucket H-1 used to be silently clobberable).
+    hbuck = jnp.where(is_new, free_bucket, cfg.hash_size)
+    hash_slot = state.hash_slot.at[hbuck].set(
+        jnp.where(is_new, nrow, state.hash_slot[hbuck]))
+    hash_slot = hash_slot.at[cfg.hash_size].set(-1)
     cursor = state.cursor + jnp.sum(new_flag * fits.astype(jnp.int32))
 
     landmark_of = jnp.where(is_merge, merge_row,
                             jnp.where(is_new, nrow, -1))
 
-    # --- observation records [frame, landmark, u, v].
+    # --- observation records [frame, landmark, u, v] into this frame's
+    # fixed slot row (static window slices for local BA).
+    opf = state.obs.shape[1]
+    orow = frame_i if obs_row is None else jnp.asarray(obs_row).astype(
+        jnp.int32)
+    frow = jnp.clip(orow, 0, state.obs.shape[0] - 1)
+    base = state.obs_count[frow]
     has_obs = landmark_of >= 0
     oflag = has_obs.astype(jnp.int32)
-    ooff = jnp.cumsum(oflag) - oflag
-    orow = state.obs_cursor + ooff
-    ofits = orow < state.obs.shape[0]
-    w = has_obs & ofits
-    orow_c = jnp.where(w, orow, state.obs.shape[0] - 1)
+    slot = base + jnp.cumsum(oflag) - oflag
+    w = has_obs & (slot < opf)
+    # Masked/overflow records get slot >= opf and are DROPPED by the
+    # scatter mode (a write-back to a clipped slot could clobber a
+    # legitimate record written by the same scatter).
+    slot_c = jnp.where(w, slot, opf)
     rec = jnp.stack([
-        jnp.full((n,), frame_idx, xyz_world.dtype),
+        frame_i.astype(xyz_world.dtype) * jnp.ones((n,), xyz_world.dtype),
         landmark_of.astype(xyz_world.dtype),
         uv[:, 0], uv[:, 1]], axis=-1)
-    obs = state.obs.at[orow_c].set(jnp.where(w[:, None], rec,
-                                             state.obs[orow_c]))
-    obs_cursor = state.obs_cursor + jnp.sum(oflag * ofits.astype(jnp.int32))
+    obs = state.obs.at[frow, slot_c].set(rec, mode="drop")
+    if uv_r_u is None:
+        uv_r_u = jnp.zeros((n,), xyz_world.dtype)
+    obs_ur = state.obs_ur.at[frow, slot_c].set(uv_r_u, mode="drop")
+    obs_count = state.obs_count.at[frow].set(
+        base + jnp.sum(oflag * w.astype(jnp.int32)))
 
     return MapState(xyz=xyz, desc=desc_tbl, count=count, valid=valid,
-                    hash_slot=hash_slot, cursor=cursor, obs=obs,
-                    obs_cursor=obs_cursor), landmark_of
+                    hash_slot=hash_slot, cursor=cursor,
+                    last_frame=last_frame, obs=obs, obs_ur=obs_ur,
+                    obs_count=obs_count), landmark_of
+
+
+@jax.jit
+def cull(state: MapState, frame, min_obs, max_age) -> MapState:
+    """Map-point culling (the lifecycle the reference only sketched,
+    /root/reference/local_mapping.py:4 'Recent MapPoints culling'):
+    invalidate landmarks observed fewer than `min_obs` times that
+    haven't been seen for `max_age` frames. A later re-observation
+    within merge radius revives them (see insert)."""
+    frame = jnp.asarray(frame).astype(jnp.int32)
+    stale = (state.valid & (state.count < min_obs)
+             & (frame - state.last_frame > max_age))
+    return state._replace(valid=state.valid & ~stale)
 
 
 class KeyframeStore(NamedTuple):
@@ -182,6 +251,8 @@ class KeyframeStore(NamedTuple):
     uv: jnp.ndarray     # (F, K, 2)
     mask: jnp.ndarray   # (F, K)
     poses: jnp.ndarray  # (F, 4, 4) world-from-camera at insertion time
+    frame_of_row: jnp.ndarray  # (F,) int32 frame index of each keyframe
+    row_of_frame: jnp.ndarray  # (F,) int32 keyframe row of a frame, -1
     n: jnp.ndarray      # () int32
 
 
@@ -193,14 +264,20 @@ def init_kf_store(max_frames: int, k: int, desc_bytes: int = 32,
         uv=jnp.zeros((max_frames, k, 2), dtype),
         mask=jnp.zeros((max_frames, k), bool),
         poses=jnp.tile(jnp.eye(4, dtype=dtype), (max_frames, 1, 1)),
+        frame_of_row=jnp.full((max_frames,), -1, jnp.int32),
+        row_of_frame=jnp.full((max_frames,), -1, jnp.int32),
         n=jnp.asarray(0, jnp.int32),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def kf_insert(store: KeyframeStore, obs: StereoObservations, pose,
-              k: int) -> KeyframeStore:
-    """Keep the k best (valid-first) stereo observations of this frame."""
+              k: int, frame=0, is_kf=True) -> KeyframeStore:
+    """Keep the k best (valid-first) stereo observations of this frame.
+
+    `is_kf` (traced bool) gates the insert: non-keyframes leave the
+    store untouched (keyframe selection policy lives in the pipeline).
+    """
     # Order: valid first (stable top-k on the mask). If the frame holds
     # fewer than k observations, pad with masked-out repeats of slot 0.
     n = obs.mask.shape[0]
@@ -211,12 +288,19 @@ def kf_insert(store: KeyframeStore, obs: StereoObservations, pose,
         idx = jnp.concatenate([idx, jnp.zeros(k - n, idx.dtype)])
         sel_mask = jnp.concatenate(
             [sel_mask, jnp.zeros(k - n, sel_mask.dtype)])
-    row = jnp.minimum(store.n, store.xyz.shape[0] - 1)
+    is_kf = jnp.asarray(is_kf)
+    frame = jnp.asarray(frame).astype(jnp.int32)
+    cap = store.xyz.shape[0]
+    row = jnp.minimum(store.n, cap - 1)
+    row_w = jnp.where(is_kf, row, cap)          # OOB -> dropped scatter
+    frow_w = jnp.where(is_kf, jnp.clip(frame, 0, cap - 1), cap)
     return store._replace(
-        xyz=store.xyz.at[row].set(obs.xyz[idx]),
-        desc=store.desc.at[row].set(obs.desc[idx]),
-        uv=store.uv.at[row].set(obs.uv_l[idx]),
-        mask=store.mask.at[row].set(sel_mask),
-        poses=store.poses.at[row].set(pose),
-        n=store.n + 1,
+        xyz=store.xyz.at[row_w].set(obs.xyz[idx], mode="drop"),
+        desc=store.desc.at[row_w].set(obs.desc[idx], mode="drop"),
+        uv=store.uv.at[row_w].set(obs.uv_l[idx], mode="drop"),
+        mask=store.mask.at[row_w].set(sel_mask, mode="drop"),
+        poses=store.poses.at[row_w].set(pose, mode="drop"),
+        frame_of_row=store.frame_of_row.at[row_w].set(frame, mode="drop"),
+        row_of_frame=store.row_of_frame.at[frow_w].set(row, mode="drop"),
+        n=store.n + is_kf.astype(jnp.int32),
     )

@@ -1,33 +1,44 @@
 """Full SLAM driver: VO + mapping + place recognition + loop closure +
-pose-graph backend.
+windowed local BA + pose-graph backend.
 
 The TPU-native counterpart of /root/reference/main.py:32-187. Per-frame
 work is ONE jitted step (`slam_step`): frontend, temporal tracking, PnP,
-pose chaining, map insertion, keyframe snapshot, BoW histogram +
-loop-candidate query. Only two things live on the host:
+pose chaining, keyframe policy, map insertion (per-frame observation
+slots), landmark culling, BoW histogram + loop-candidate query. Only
+three things live on the host:
 
-  - the sequential frame loop (tracking is inherently serial), and
-  - the loop-closure TRIGGER (ref main.py:100: chi^2 < 45): a
-    data-dependent decision that would poison jit; the device returns
-    (candidate, chi2) every frame and the host launches the jitted
-    verification + pose-graph relaxation only when armed & triggered
-    (SURVEY.md §7 "hard parts").
+  - the sequential frame loop (tracking is inherently serial),
+  - the loop-closure TRIGGER (ref main.py:100: chi^2 < threshold):
+    a data-dependent decision that would poison jit; the device returns
+    a boolean every frame and the host POLLS it every
+    `bow.loop_poll_every` frames (one scalar transfer — never a
+    per-frame device->host sync), and
+  - fixed-cadence backend launches: windowed local BA every
+    `ba.local_every` keyframes, pose-graph relaxation on accepted
+    loops, checkpoints every `runtime.checkpoint_every` frames.
 
 Differences from the reference, by design:
   - BoW vocabulary trains online from a descriptor reservoir at a
     configurable frame (ref pre-trains on the whole sequence,
-    main.py:43-44).
+    main.py:43-44); pre-training frames are BACKFILLED into the DB from
+    KeyframeStore descriptors so a loop returning to the sequence start
+    stays findable.
   - Loop correction = proper pose-graph optimization over odometry +
     loop edges (ref smears translation linearly, loop_closure.py:48-52;
     that variant is kept as posegraph.distribute_error_linear).
-  - Checkpoint/export happens via utils.checkpoint snapshots, not
-    per-frame text appends (ref XXXport_files.py).
+  - Bundle adjustment RUNS IN THE LIVE SYSTEM (windowed Schur-LM over
+    the last `ba.window` keyframes; the reference's backend is a
+    separate process fed by text files, BundleAdjustment.py:186-225).
+  - Checkpoint/resume via utils.checkpoint snapshots honoring
+    `runtime.checkpoint_every`, not per-frame text appends
+    (ref XXXport_files.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -38,15 +49,18 @@ from slam1_tpu.config import SlamConfig
 from slam1_tpu.models import bow as bow_mod
 from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
+from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
 from slam1_tpu.models.loop_closure import verify_loop
 from slam1_tpu.models.tracker import chain_pose, temporal_track
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
 from slam1_tpu.types import StereoObservations
+from slam1_tpu.utils import checkpoint as ckpt_mod
 
 MAX_LOOP_EDGES = 64
 KF_FEATURES = 512
+PGO_BUCKETS = (512, 2048, 8192)
 
 
 class SlamState(NamedTuple):
@@ -61,11 +75,18 @@ class SlamState(NamedTuple):
     traj: jnp.ndarray        # (F,4,4)
     rel: jnp.ndarray         # (F,6) twist of edge (i-1 -> i)
     rel_mask: jnp.ndarray    # (F,)
+    last_kf_frame: jnp.ndarray  # () int32
+    last_kf_pos: jnp.ndarray    # (3,) translation at last keyframe
+    prev_lm: jnp.ndarray     # (N,) int32 landmark row of each prev_obs
+                             # slot (-1 unknown) — feature-track identity
 
 
 class StepOutput(NamedTuple):
+    loop_hit: jnp.ndarray         # bool — trigger fired this frame
     loop_candidate: jnp.ndarray   # int32 frame index, -1 if none
     loop_chi2: jnp.ndarray        # float32
+    is_kf: jnp.ndarray            # bool
+    kf_n: jnp.ndarray             # int32 keyframe count after this frame
     num_stereo: jnp.ndarray
     num_inliers: jnp.ndarray
     mean_reproj_err: jnp.ndarray
@@ -87,21 +108,34 @@ def _init_state(left, right, cam, cfg: SlamConfig, seed: int) -> SlamState:
         traj=jnp.tile(jnp.eye(4, dtype=left.dtype), (mf, 1, 1)),
         rel=jnp.zeros((mf, 6), left.dtype),
         rel_mask=jnp.zeros((mf,), bool),
+        last_kf_frame=jnp.asarray(0, jnp.int32),
+        last_kf_pos=jnp.zeros(3, left.dtype),
+        prev_lm=jnp.full((obs.mask.shape[0],), -1, jnp.int32),
     )
+    # Frame 0 is always a keyframe (ref main.py:75 bootstraps frame 0).
+    xyz_w = obs.xyz
+    new_map, lm_of = mapping.insert(
+        state.map, xyz_w, obs.desc, obs.mask, jnp.asarray(0, jnp.int32),
+        obs.uv_l, cfg.mapping, uv_r_u=obs.uv_r[:, 0],
+        obs_row=jnp.asarray(0, jnp.int32))
     state = state._replace(
-        kf=mapping.kf_insert(state.kf, obs, state.T_w_cam, KF_FEATURES))
-    k1, k2 = jax.random.split(state.key)
-    state = state._replace(
-        key=k1,
-        bow=bow_mod.accumulate(state.bow, k2, feats.desc, feats.mask,
-                               cfg.bow.sample_desc_per_frame))
+        map=new_map,
+        prev_lm=lm_of,
+        kf=mapping.kf_insert(state.kf, obs, state.T_w_cam, KF_FEATURES,
+                             frame=0, is_kf=True))
+    k1, k2, k3 = jax.random.split(state.key, 3)
+    bw = bow_mod.accumulate(state.bow, k2, feats.desc, feats.mask,
+                            cfg.bow.sample_desc_per_frame)
+    bw = bow_mod.add_frame(bw, k3, jnp.asarray(0, jnp.int32), feats.desc,
+                           feats.mask, is_kf=True)
+    state = state._replace(key=k1, bow=bw)
     return state
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def slam_step(state: SlamState, left, right, cam: StereoCamera,
               cfg: SlamConfig):
-    key, k_pnp, k_bow = jax.random.split(state.key, 3)
+    key, k_pnp, k_bow, k_bow2 = jax.random.split(state.key, 4)
 
     feats, obs = stereo_frontend(left, right, cam, cfg)
     track = temporal_track(k_pnp, state.prev_obs, feats, cam, cfg,
@@ -109,19 +143,55 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
     T_w, xi_used = chain_pose(state.T_w_cam, track.pnp, state.xi_vel)
     frame = state.frame + 1
 
-    # Map: world-frame points of this frame's stereo observations.
+    # Keyframe policy: every Nth frame OR enough translation since the
+    # last keyframe (the lifecycle /root/reference/local_mapping.py:2-3
+    # sketches; ref main.py:121 promotes every frame).
+    mcfg = cfg.mapping
+    dist = jnp.linalg.norm(T_w[:3, 3] - state.last_kf_pos)
+    is_kf = (frame - state.last_kf_frame) >= mcfg.keyframe_every
+    if mcfg.keyframe_trans > 0:
+        is_kf = is_kf | (dist > mcfg.keyframe_trans)
+    kf_row = state.kf.n                       # row this keyframe will take
+
+    # Feature-track landmark identity: current slot j inherits the
+    # landmark of the previous slot the tracker matched to it (inlier
+    # matches only) — the co-visibility backbone of BA.
+    n_slots = obs.mask.shape[0]
+    inherit = (track.match_mask & track.pnp.inliers
+               & (state.prev_lm >= 0))
+    tgt = jnp.where(inherit, track.match_idx, n_slots)   # OOB -> dropped
+    cur_lm = jnp.full((n_slots,), -1, jnp.int32).at[tgt].set(
+        state.prev_lm, mode="drop")
+
+    # Map: world-frame points of this frame's stereo observations,
+    # recorded under the KEYFRAME row (windowed BA slices kf rows).
     xyz_w = se3.transform_points(T_w, obs.xyz)
-    new_map, _ = mapping.insert(state.map, xyz_w, obs.desc, obs.mask,
-                                frame.astype(left.dtype), obs.uv_l,
-                                cfg.mapping)
+    new_map, lm_of = mapping.insert(
+        state.map, xyz_w, obs.desc, obs.mask & is_kf, frame, obs.uv_l,
+        mcfg, uv_r_u=obs.uv_r[:, 0], obs_row=kf_row, known_row=cur_lm)
+    # Carry track identity forward even through non-keyframes.
+    new_prev_lm = jnp.where(lm_of >= 0, lm_of, cur_lm)
 
-    kf = mapping.kf_insert(state.kf, obs, T_w, KF_FEATURES)
+    # Landmark culling at a fixed cadence, fully on device.
+    if mcfg.cull_min_obs > 0 and mcfg.cull_every > 0:
+        do_cull = (frame % mcfg.cull_every) == 0
+        stale = (new_map.valid & (new_map.count < mcfg.cull_min_obs)
+                 & (frame - new_map.last_frame > mcfg.cull_max_age)
+                 & do_cull)
+        new_map = new_map._replace(valid=new_map.valid & ~stale)
 
-    # BoW: reservoir sample, histogram DB row, loop query.
+    kf = mapping.kf_insert(state.kf, obs, T_w, KF_FEATURES, frame=frame,
+                           is_kf=is_kf)
+
+    # BoW: reservoir sample, histogram DB row (keyframes only), query.
     bw = bow_mod.accumulate(state.bow, k_bow, feats.desc, feats.mask,
                             cfg.bow.sample_desc_per_frame)
-    bw = bow_mod.add_frame(bw, frame, feats.desc, feats.mask)
+    bw = bow_mod.add_frame(bw, k_bow2, frame, feats.desc, feats.mask,
+                           is_kf=is_kf)
     cand, chi2 = bow_mod.query(bw, frame, feats.desc, feats.mask, cfg.bow)
+    # NOTE: no `chi2 > 0` guard (ref main.py:100 has one for its raw-count
+    # self-match degeneracy): an exact re-visit legitimately scores 0.
+    loop_hit = (cand >= 0) & (chi2 < cfg.bow.chi2_accept)
 
     traj = state.traj.at[frame].set(T_w)
     rel = state.rel.at[frame].set(xi_used)
@@ -129,13 +199,135 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
 
     new_state = SlamState(
         T_w_cam=T_w, prev_obs=obs, xi_vel=xi_used, key=key, frame=frame,
-        map=new_map, kf=kf, bow=bw, traj=traj, rel=rel, rel_mask=rel_mask)
+        map=new_map, kf=kf, bow=bw, traj=traj, rel=rel, rel_mask=rel_mask,
+        last_kf_frame=jnp.where(is_kf, frame, state.last_kf_frame),
+        last_kf_pos=jnp.where(is_kf, T_w[:3, 3], state.last_kf_pos),
+        prev_lm=new_prev_lm)
     out = StepOutput(
-        loop_candidate=cand, loop_chi2=chi2,
+        loop_hit=loop_hit, loop_candidate=cand, loop_chi2=chi2,
+        is_kf=is_kf, kf_n=kf.n,
         num_stereo=jnp.sum(obs.mask), num_inliers=track.pnp.num_inliers,
         mean_reproj_err=track.pnp.mean_err, pnp_ok=track.pnp.ok)
     # current-frame features returned for host-triggered loop verification
     return new_state, out, feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig):
+    """Windowed local BA over the last `ba.window` keyframes (BASELINE
+    config 2; the live version of ref BundleAdjustment.py:186-225).
+
+    Builds a BAProblem from the per-keyframe observation slots, runs
+    `ba.local_lm_iters` Schur-LM iterations, and feeds optimized poses
+    back into the trajectory / keyframe store and optimized landmarks
+    back into the map. Returns (new_state, ba_cost).
+    """
+    w_kf = cfg.ba.window
+    kfn = state.kf.n
+    kf_cap = state.kf.xyz.shape[0]
+    start = jnp.clip(kfn - w_kf, 0, kf_cap - w_kf)
+    rows = start + jnp.arange(w_kf)                         # (W,)
+    row_ok = rows < kfn
+    frames = state.kf.frame_of_row[rows]                    # (W,)
+    fr_ok = row_ok & (frames >= 0)
+
+    obs = state.map.obs[rows]                               # (W,OPF,4)
+    ur = state.map.obs_ur[rows].reshape(-1)                 # (W*OPF,)
+    opf = obs.shape[1]
+    cap = state.map.xyz.shape[0]
+    cam_idx = jnp.repeat(jnp.arange(w_kf, dtype=jnp.int32), opf)
+    lm = obs[..., 1].astype(jnp.int32).reshape(-1)
+    lm_ok = (lm >= 0) & (lm < cap)
+    lmc = jnp.clip(lm, 0, cap - 1)
+    slot_ok = (jnp.arange(opf)[None, :]
+               < state.map.obs_count[rows][:, None]).reshape(-1)
+    valid = slot_ok & lm_ok & fr_ok[cam_idx] & state.map.valid[lmc]
+    uv = obs[..., 2:4].reshape(-1, 2)
+
+    poses = state.traj[jnp.clip(frames, 0, state.traj.shape[0] - 1)]
+    w = valid.astype(uv.dtype)
+    wr = ((ur > 0) & valid).astype(uv.dtype)    # stereo term anchors scale
+    prob = make_problem(poses, state.map.xyz, cam_idx, lmc, uv, w,
+                        ur=ur, wr=wr)
+    ba_cfg = dataclasses.replace(cfg.ba, lm_iters=cfg.ba.local_lm_iters)
+    out, cost = bundle_adjust(prob, cam, ba_cfg)
+
+    frames_w = jnp.where(fr_ok, frames, state.traj.shape[0])
+    traj = state.traj.at[frames_w].set(out.poses, mode="drop")
+    rows_w = jnp.where(row_ok, rows, kf_cap)
+    kf_poses = state.kf.poses.at[rows_w].set(out.poses, mode="drop")
+    t_w = traj[jnp.clip(state.frame, 0, traj.shape[0] - 1)]
+    new_state = state._replace(
+        traj=traj,
+        kf=state.kf._replace(poses=kf_poses),
+        map=state.map._replace(xyz=out.points),
+        T_w_cam=t_w)
+    return new_state, cost
+
+
+def build_global_problem(state: SlamState, n_kf: int):
+    """BAProblem over keyframes [0, n_kf) from the per-keyframe
+    observation slots (BASELINE config 4: global BA over all keyframes).
+    `n_kf` must be static (host buckets it)."""
+    obs = state.map.obs[:n_kf]                              # (N,OPF,4)
+    ur = state.map.obs_ur[:n_kf].reshape(-1)
+    opf = obs.shape[1]
+    cap = state.map.xyz.shape[0]
+    cam_idx = jnp.repeat(jnp.arange(n_kf, dtype=jnp.int32), opf)
+    lm = obs[..., 1].astype(jnp.int32).reshape(-1)
+    lm_ok = (lm >= 0) & (lm < cap)
+    lmc = jnp.clip(lm, 0, cap - 1)
+    rows = jnp.arange(n_kf)
+    row_ok = (rows < state.kf.n) & (state.kf.frame_of_row[:n_kf] >= 0)
+    slot_ok = (jnp.arange(opf)[None, :]
+               < state.map.obs_count[:n_kf][:, None]).reshape(-1)
+    valid = slot_ok & lm_ok & row_ok[cam_idx] & state.map.valid[lmc]
+    uv = obs[..., 2:4].reshape(-1, 2)
+    frames = jnp.clip(state.kf.frame_of_row[:n_kf], 0,
+                      state.traj.shape[0] - 1)
+    poses = state.traj[frames]
+    w = valid.astype(uv.dtype)
+    wr = ((ur > 0) & valid).astype(uv.dtype)
+    return make_problem(poses, state.map.xyz, cam_idx, lmc, uv, w,
+                        ur=ur, wr=wr), frames
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_kf"))
+def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
+                   n_kf: int):
+    """Global BA over the first n_kf keyframes; returns updated state."""
+    prob, frames = build_global_problem(state, n_kf)
+    out, cost = bundle_adjust(prob, cam, cfg.ba)
+    traj = state.traj.at[frames].set(out.poses)
+    kf_poses = state.kf.poses.at[jnp.arange(n_kf)].set(out.poses)
+    t_w = traj[jnp.clip(state.frame, 0, traj.shape[0] - 1)]
+    return state._replace(
+        traj=traj, kf=state.kf._replace(poses=kf_poses),
+        map=state.map._replace(xyz=out.points), T_w_cam=t_w), cost
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "iters", "cg_iters"))
+def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
+              le_w, frame, bucket: int, iters: int, cg_iters: int):
+    """Pose-graph relaxation over the first `bucket` poses (static)."""
+    t = traj[:bucket]
+    ei = jnp.arange(bucket - 1, dtype=jnp.int32)
+    # rel[f] = log(T_f_{f-1}) (tracker convention: X_cur = T @ X_prev);
+    # the pose-graph edge measurement is T_{f-1}_f = exp(-rel[f]).
+    z_odo = se3.exp_se3(-rel[1:bucket])
+    w_odo = rel_mask[1:bucket].astype(jnp.float32)
+    graph = posegraph.PoseGraph(
+        poses=t,
+        ei=jnp.concatenate([ei, le_i]),
+        ej=jnp.concatenate([ei + 1, le_j]),
+        z=jnp.concatenate([z_odo, le_z]),
+        w=jnp.concatenate([w_odo, le_w]))
+    opt, cost = posegraph.optimize(graph, iters=iters, cg_iters=cg_iters)
+    traj = traj.at[:bucket].set(opt)
+    t_w = traj[jnp.clip(frame, 0, traj.shape[0] - 1)]
+    # Refresh keyframe poses from the relaxed trajectory.
+    new_kf_poses = traj[jnp.clip(kf_frames, 0, traj.shape[0] - 1)]
+    return traj, t_w, new_kf_poses, kf_mask, cost
 
 
 @dataclasses.dataclass
@@ -148,7 +340,12 @@ class LoopEvent:
 
 
 class SlamSystem:
-    """Host-side orchestrator (the `slam.run(config)` API, SURVEY C24)."""
+    """Host-side orchestrator (the `slam.run(config)` API, SURVEY C24).
+
+    Host-device discipline: nothing in `process()` forces a per-frame
+    device sync. The loop trigger, keyframe count, and buffered metrics
+    are pulled every `bow.loop_poll_every` frames in one transfer.
+    """
 
     def __init__(self, cam: StereoCamera, cfg: Optional[SlamConfig] = None,
                  seed: int = 0, bow_train_frame: int = 30):
@@ -159,35 +356,85 @@ class SlamSystem:
         self.state: Optional[SlamState] = None
         self.loop_edges: list = []       # (i, j, Z (4,4) np, weight)
         self.loop_events: list = []
-        self.metrics: list = []
+        self.metrics: list = []          # host-side StepOutputs (drained)
+        self.ba_costs: list = []
+        self.frame_count = 0             # host mirror of state.frame
         self._rearm_at = 0
+        self._kf_at_last_ba = 1
+        self._bow_trained = False
+        self._pending: list = []         # device StepOutputs not yet pulled
+        self._last_feats = None
 
+    # ------------------------------------------------------------- core
     def process(self, left, right):
         cfg = self.cfg
         if self.state is None:
             self.state = _init_state(left, right, self.cam, cfg, self.seed)
+            self.frame_count = 0
             return None
 
         self.state, out, feats = slam_step(self.state, left, right,
                                            self.cam, cfg)
-        frame = int(self.state.frame)
+        self.frame_count += 1
+        frame = self.frame_count
+        self._pending.append(out)
+        self._last_feats = feats
 
         if frame == self.bow_train_frame:
-            key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 999)
-            self.state = self.state._replace(
-                bow=bow_mod.train(self.state.bow, key, cfg.bow))
+            self._train_bow()
+            self._bow_trained = True
 
-        chi2 = float(out.loop_chi2)
-        cand = int(out.loop_candidate)
-        if (cand >= 0 and 0.0 < chi2 < cfg.bow.chi2_accept
-                and frame >= self._rearm_at):
-            self._try_close_loop(frame, cand, chi2, feats)
+        if frame % cfg.bow.loop_poll_every == 0:
+            self._poll(feats)
 
-        self.metrics.append(out)
+        # Checkpoint AFTER the poll so backend work launched this frame
+        # (local BA, PGO) is captured — resume then replays identically.
+        rt = cfg.runtime
+        if rt.checkpoint_every and frame % rt.checkpoint_every == 0:
+            self.save_checkpoint(os.path.join(
+                rt.checkpoint_dir, f"ckpt_{frame:06d}.npz"))
         return out
 
+    def _poll(self, feats):
+        """One host<->device sync point: drain metrics, read the loop
+        trigger + keyframe count, launch backend work if due."""
+        cfg = self.cfg
+        if not self._pending:
+            return
+        drained = jax.device_get(self._pending)
+        self._pending = []
+        self.metrics.extend(drained)
+        latest = drained[-1]
+        frame = self.frame_count
+        kf_n = int(latest.kf_n)
+
+        if (self._bow_trained and frame >= self._rearm_at
+                and bool(latest.loop_hit)):
+            self._try_close_loop(frame, int(latest.loop_candidate),
+                                 float(latest.loop_chi2), feats)
+
+        if cfg.ba.local_every and (kf_n - self._kf_at_last_ba
+                                   >= cfg.ba.local_every):
+            self.state, cost = local_ba_step(self.state, self.cam, cfg)
+            self.ba_costs.append(cost)      # device scalar; pulled lazily
+            self._kf_at_last_ba = kf_n
+
+    def _train_bow(self):
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 999)
+        self.state = self.state._replace(
+            bow=bow_mod.train(self.state.bow, key, self.cfg.bow))
+        # Backfill DB rows for keyframes seen before the vocab existed
+        # (ref trains on the full sequence so every frame is queryable,
+        # main.py:43-44; see bow.backfill_chunk).
+        chunk = 128
+        for s in range(0, self.frame_count + 1, chunk):
+            self.state = self.state._replace(bow=bow_mod.backfill_chunk(
+                self.state.bow, s, chunk))
+
+    # ----------------------------------------------------- loop closure
     def _try_close_loop(self, frame: int, cand: int, chi2: float, feats):
-        key = jax.random.fold_in(self.state.key, frame)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed ^ 0x5a5a),
+                                 frame)
         res = verify_loop(key, self.state.kf, cand, feats, self.cam,
                           self.cfg)
         ok = bool(res.ok)
@@ -204,14 +451,12 @@ class SlamSystem:
         # Immediate trajectory relaxation over the affected span.
         self._run_pgo()
 
-    def _run_pgo(self):
+    def _run_pgo(self, iters: Optional[int] = None):
         st = self.state
-        n = int(st.frame) + 1
+        n = self.frame_count + 1
         f_cap = st.traj.shape[0]
-        ei = jnp.arange(f_cap - 1, dtype=jnp.int32)
-        ej = ei + 1
-        z_odo = se3.exp_se3(st.rel[1:])
-        w_odo = st.rel_mask[1:].astype(jnp.float32)
+        bucket = next((b for b in PGO_BUCKETS if b >= n and b <= f_cap),
+                      f_cap)
 
         le_i = np.zeros(MAX_LOOP_EDGES, np.int32)
         le_j = np.zeros(MAX_LOOP_EDGES, np.int32)
@@ -220,25 +465,72 @@ class SlamSystem:
         for k, (i, j, Z, w) in enumerate(self.loop_edges[:MAX_LOOP_EDGES]):
             le_i[k], le_j[k], le_z[k], le_w[k] = i, j, Z, w
 
-        graph = posegraph.PoseGraph(
-            poses=st.traj,
-            ei=jnp.concatenate([ei, jnp.asarray(le_i)]),
-            ej=jnp.concatenate([ej, jnp.asarray(le_j)]),
-            z=jnp.concatenate([z_odo, jnp.asarray(le_z)]),
-            w=jnp.concatenate([w_odo, jnp.asarray(le_w)]),
-        )
-        opt, _ = posegraph.optimize(graph, iters=self.cfg.ba.pg_iters // 5,
-                                    cg_iters=self.cfg.ba.cg_iters)
-        self.state = st._replace(traj=opt, T_w_cam=opt[int(st.frame)])
+        traj, t_w, kf_poses, kf_mask, cost = _pgo_step(
+            st.traj, st.rel, st.rel_mask, st.kf.frame_of_row,
+            st.kf.frame_of_row >= 0, jnp.asarray(le_i), jnp.asarray(le_j),
+            jnp.asarray(le_z), jnp.asarray(le_w), st.frame,
+            bucket=bucket,
+            iters=(iters or max(self.cfg.ba.pg_iters // 5, 3)),
+            cg_iters=self.cfg.ba.cg_iters)
+        kf_sel = jnp.where(kf_mask[:, None, None], kf_poses, st.kf.poses)
+        self.state = st._replace(traj=traj, T_w_cam=t_w,
+                                 kf=st.kf._replace(poses=kf_sel))
 
+    # ------------------------------------------------ checkpoint/resume
+    def save_checkpoint(self, path: str):
+        meta = {
+            "frame_count": self.frame_count,
+            "rearm_at": self._rearm_at,
+            "kf_at_last_ba": self._kf_at_last_ba,
+            "seed": self.seed,
+            "bow_train_frame": self.bow_train_frame,
+            "bow_trained": self._bow_trained,
+            "loop_edges": [
+                (int(i), int(j), np.asarray(Z).tolist(), float(w))
+                for i, j, Z, w in self.loop_edges],
+        }
+        ckpt_mod.save(path, self.state, meta=meta)
+
+    @classmethod
+    def resume(cls, path: str, cam: StereoCamera,
+               cfg: Optional[SlamConfig] = None) -> "SlamSystem":
+        """Restore a system from a checkpoint (the counterpart of the
+        reference backend restarting from ourCache/,
+        BundleAdjustment.py:12-17)."""
+        cfg = cfg or SlamConfig()
+        meta = ckpt_mod.load_meta(path)
+        sys_ = cls(cam, cfg, seed=meta["seed"],
+                   bow_train_frame=meta["bow_train_frame"])
+        # Template state for the pytree structure.
+        template = _template_state(cam, cfg, meta["seed"])
+        sys_.state = ckpt_mod.load(path, template)
+        sys_.frame_count = meta["frame_count"]
+        sys_._rearm_at = meta["rearm_at"]
+        sys_._kf_at_last_ba = meta["kf_at_last_ba"]
+        sys_._bow_trained = meta.get("bow_trained", False)
+        sys_.loop_edges = [
+            (i, j, np.asarray(Z, np.float32), w)
+            for i, j, Z, w in meta["loop_edges"]]
+        return sys_
+
+    # ------------------------------------------------------------ final
     def finalize(self, run_pgo: bool = True):
+        if self._pending:
+            self._poll(self._last_feats)   # catch a trailing loop hit
         if run_pgo and self.loop_edges:
-            self._run_pgo()
+            self._run_pgo(iters=self.cfg.ba.pg_iters)
         return self.poses()
 
     def poses(self) -> np.ndarray:
-        n = int(self.state.frame) + 1
+        n = self.frame_count + 1
         return np.asarray(self.state.traj[:n])
+
+
+def _template_state(cam, cfg: SlamConfig, seed: int) -> SlamState:
+    """Zero-filled SlamState with the right pytree structure/shapes."""
+    h, w = cfg.image.height, cfg.image.width
+    z = jnp.zeros((h, w), jnp.float32)
+    return _init_state(z, z, cam, cfg, seed)
 
 
 def run(lefts, rights, cam: StereoCamera, cfg: Optional[SlamConfig] = None,

@@ -12,7 +12,7 @@ from slam1_tpu.utils.kitti import (KittiSequence, load_calib, load_poses,
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    cfg = MappingConfig(capacity=64, hash_size=128, obs_capacity=64,
+    cfg = MappingConfig(capacity=64, hash_size=128, obs_per_frame=16,
                         max_frames=8)
     st = init_map(cfg)
     st = st._replace(cursor=jnp.asarray(5, jnp.int32))
@@ -26,7 +26,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_checkpoint_rejects_mismatched_tree(tmp_path):
-    cfg = MappingConfig(capacity=64, hash_size=128, obs_capacity=64,
+    cfg = MappingConfig(capacity=64, hash_size=128, obs_per_frame=16,
                         max_frames=8)
     p = str(tmp_path / "snap.npz")
     checkpoint.save(p, init_map(cfg))

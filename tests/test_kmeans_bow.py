@@ -60,7 +60,7 @@ def test_bow_roundtrip_detects_revisit(rng):
     state = bow.train(state, key, cfg)
     assert bool(state.trained)
     for i, d in enumerate(descs):
-        state = bow.add_frame(state, i, jnp.asarray(d), mask)
+        state = bow.add_frame(state, k2, i, jnp.asarray(d), mask)
     # query with frame 1's descriptors at "frame index 9"
     best, val = bow.query(state, 9, jnp.asarray(descs[1]), mask, cfg)
     assert int(best) == 1
@@ -75,7 +75,7 @@ def test_bow_query_respects_exclusion(rng):
     mask = jnp.ones(32, bool)
     state = bow.accumulate(state, rng, d, mask, n_sample=32)
     state = bow.train(state, rng, cfg)
-    state = bow.add_frame(state, 0, d, mask)
+    state = bow.add_frame(state, rng, 0, d, mask)
     best, val = bow.query(state, 5, d, mask, cfg)  # 5 - 100 < 0: nothing old
     assert int(best) == -1 and float(val) == -1.0
 
