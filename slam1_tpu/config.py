@@ -37,6 +37,15 @@ class DetectorConfig:
     grid_rows: int = 8
     grid_cols: int = 16
     kp_per_tile: int = 16          # per-tile top-k  (ref: 200 nfeatures/tile)
+    # Scale pyramid (ref orb.py:29-33: 8 levels, scaleFactor 1.2). The
+    # TPU design uses fewer, coarser octaves with STATIC per-level
+    # canvases and grids: level l is the image downsampled by
+    # scale_factor**l, detected with a grid shrunk by the same factor
+    # (constant tile size in pixels), coordinates mapped back to the
+    # full-resolution frame. Defaults keep max_kp a multiple of 128
+    # ((128+32+8)*16 = 2688) so the fused Hamming matcher still engages.
+    num_levels: int = 3
+    scale_factor: float = 2.0      # power-of-2 levels use exact avg-pool
     # Images are float32 in [0,1] everywhere in this framework (the
     # KITTI loader divides by 255). 0.08 ~ the classic "20/255" delta.
     fast_threshold: float = 0.08   # FAST-9 intensity delta threshold
@@ -48,9 +57,17 @@ class DetectorConfig:
     blur_sigma: float = 1.4        # pre-descriptor Gaussian blur
     pattern_seed: int = 1234       # fixed rBRIEF sampling pattern seed
 
+    def level_grid(self, level: int):
+        """(grid_rows, grid_cols) of pyramid level `level`."""
+        s = self.scale_factor ** level
+        return (max(1, round(self.grid_rows / s)),
+                max(1, round(self.grid_cols / s)))
+
     @property
     def max_kp(self) -> int:
-        return self.grid_rows * self.grid_cols * self.kp_per_tile
+        return sum(gr * gc * self.kp_per_tile
+                   for gr, gc in (self.level_grid(l)
+                                  for l in range(self.num_levels)))
 
 
 @dataclass(frozen=True)
@@ -218,7 +235,8 @@ def tiny_config() -> SlamConfig:
     return SlamConfig(
         image=ImageConfig(height=128, width=256, valid_height=128,
                           valid_width=256),
-        detector=DetectorConfig(grid_rows=2, grid_cols=4, kp_per_tile=24),
+        detector=DetectorConfig(grid_rows=2, grid_cols=4, kp_per_tile=24,
+                                num_levels=1),
         mapping=MappingConfig(capacity=1 << 12, hash_size=1 << 13,
                               obs_per_frame=192, max_frames=512),
         bow=BowConfig(num_words=64, train_iters=6, query_exclude=10,

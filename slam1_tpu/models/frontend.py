@@ -32,7 +32,7 @@ def stereo_frontend(left, right, cam: StereoCamera,
     """-> (left Features, StereoObservations aligned to left's capacity)."""
     # One vmapped launch for both images: doubles the batch of every
     # frontend contraction instead of running two half-sized programs.
-    feats2 = jax.vmap(lambda im: detector.detect(
+    feats2 = jax.vmap(lambda im: detector.detect_pyramid(
         im, cfg.detector, cfg.image.valid_height,
         cfg.image.valid_width))(jnp.stack([left, right]))
     feats_l = jax.tree.map(lambda a: a[0], feats2)

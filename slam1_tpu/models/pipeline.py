@@ -247,10 +247,29 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig):
     poses = state.traj[jnp.clip(frames, 0, state.traj.shape[0] - 1)]
     w = valid.astype(uv.dtype)
     wr = ((ur > 0) & valid).astype(uv.dtype)    # stereo term anchors scale
-    prob = make_problem(poses, state.map.xyz, cam_idx, lmc, uv, w,
+
+    # Compact the window's landmarks into a LOCAL table of W*OPF slots:
+    # the Schur elimination then works over <=2560 landmarks instead of
+    # the full map capacity (~1e5) — Hll/Jl scatters shrink ~50x.
+    n_obs = lm.shape[0]
+    big = jnp.asarray(cap, jnp.int32)
+    ids = jnp.sort(jnp.where(valid, lm, big))                   # (O,)
+    is_first = (ids < big) & jnp.concatenate(
+        [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    local_of_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    uniq = jnp.full((n_obs,), big, jnp.int32).at[
+        jnp.where(is_first, local_of_sorted, n_obs)].set(ids, mode="drop")
+    lm_local = jnp.clip(jnp.searchsorted(uniq, lm), 0, n_obs - 1)
+    uniq_ok = uniq < big
+    uniq_c = jnp.where(uniq_ok, uniq, 0)
+    pts_local = state.map.xyz[uniq_c]
+
+    prob = make_problem(poses, pts_local, cam_idx, lm_local, uv, w,
                         ur=ur, wr=wr)
     ba_cfg = dataclasses.replace(cfg.ba, lm_iters=cfg.ba.local_lm_iters)
     out, cost = bundle_adjust(prob, cam, ba_cfg)
+    xyz_new = state.map.xyz.at[jnp.where(uniq_ok, uniq, cap)].set(
+        out.points, mode="drop")
 
     frames_w = jnp.where(fr_ok, frames, state.traj.shape[0])
     traj = state.traj.at[frames_w].set(out.poses, mode="drop")
@@ -260,7 +279,7 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig):
     new_state = state._replace(
         traj=traj,
         kf=state.kf._replace(poses=kf_poses),
-        map=state.map._replace(xyz=out.points),
+        map=state.map._replace(xyz=xyz_new),
         T_w_cam=t_w)
     return new_state, cost
 

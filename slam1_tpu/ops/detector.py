@@ -122,6 +122,68 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
     return Features(xy=xy, score=scores, angle=angles, desc=desc, mask=mask)
 
 
+def _downsample2(img):
+    """Exact 2x2 average pool (the antialiased half-octave step); odd
+    trailing rows/cols are edge-padded first."""
+    h, w = img.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw)), mode="edge")
+    h2, w2 = img.shape
+    return img.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_pyramid(img, cfg: DetectorConfig, valid_h=None,
+                   valid_w=None) -> Features:
+    """Multi-scale detect + describe (ref orb.py:29-33: cv2.ORB with 8
+    levels, scaleFactor 1.2; here: `cfg.num_levels` octaves at
+    `cfg.scale_factor`, static shapes per level).
+
+    Level l is the image downsampled by s**l; detection uses a grid
+    shrunk by the same factor (constant tile size in pixels), and the
+    descriptor is computed on the DOWNSAMPLED image — that is what buys
+    scale invariance: a 2x-closer view of the same surface produces the
+    same patch at one level up. Keypoint coordinates are mapped back to
+    full resolution (x_full = s*x + (s-1)/2 for the pool's pixel-center
+    shift). Output capacity = cfg.max_kp (sum of per-level capacities).
+    """
+    import dataclasses
+    h, w = img.shape
+    if valid_h is None:
+        valid_h = h
+    if valid_w is None:
+        valid_w = w
+
+    pow2 = abs(cfg.scale_factor - 2.0) < 1e-9
+    feats = []
+    cur = img
+    for lvl in range(cfg.num_levels):
+        s = cfg.scale_factor ** lvl
+        if lvl > 0:
+            if pow2:
+                cur = _downsample2(cur)
+            else:
+                nh = max(16, round(h / s))
+                nw = max(16, round(w / s))
+                cur = jax.image.resize(img, (nh, nw), "linear",
+                                       antialias=True)
+        gr, gc = cfg.level_grid(lvl)
+        lcfg = dataclasses.replace(cfg, grid_rows=gr, grid_cols=gc,
+                                   num_levels=1)
+        f = detect(cur, lcfg,
+                   valid_h=(valid_h / s).astype(jnp.int32)
+                   if hasattr(valid_h, "dtype") else int(valid_h / s),
+                   valid_w=(valid_w / s).astype(jnp.int32)
+                   if hasattr(valid_w, "dtype") else int(valid_w / s))
+        if lvl > 0:
+            f = f._replace(xy=f.xy * s + (s - 1.0) / 2.0)
+        feats.append(f)
+    if len(feats) == 1:
+        return feats[0]
+    return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *feats)
+
+
 @functools.lru_cache(maxsize=8)
 def _pattern_np(n_pairs, radius, seed):
     return brief.make_pattern(n_pairs, radius, seed)

@@ -1,0 +1,95 @@
+"""Scale-pyramid detection (ref orb.py:29-33: 8-level ORB, factor 1.2;
+ours: static octaves). The functional bar (VERDICT r1 missing #2): survive
+a 2x scale change between two views of the same scene — exactly what a
+KITTI-00-style loop needs when the revisit distance differs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam1_tpu.config import DetectorConfig
+from slam1_tpu.ops import detector, hamming
+
+
+def _textured_image(key, h, w):
+    """Smooth random texture with corner-rich structure."""
+    img = jax.random.uniform(key, (h // 8, w // 8))
+    img = jax.image.resize(img, (h, w), "nearest")  # blocky -> corners
+    soft = jax.image.resize(jax.random.uniform(jax.random.fold_in(key, 1),
+                                               (h // 16, w // 16)),
+                            (h, w), "linear")
+    return jnp.clip(0.7 * img + 0.3 * soft, 0.0, 1.0)
+
+
+def cfg_pyr(levels=3):
+    return DetectorConfig(grid_rows=4, grid_cols=8, kp_per_tile=16,
+                          num_levels=levels)
+
+
+def test_max_kp_accounts_for_levels():
+    c = cfg_pyr(3)
+    assert c.level_grid(0) == (4, 8)
+    assert c.level_grid(1) == (2, 4)
+    assert c.level_grid(2) == (1, 2)
+    assert c.max_kp == (32 + 8 + 2) * 16
+    # Default production config keeps the 128-multiple contract for the
+    # fused Hamming matcher.
+    assert DetectorConfig().max_kp % 128 == 0
+
+
+def test_single_level_passthrough():
+    key = jax.random.PRNGKey(0)
+    img = _textured_image(key, 128, 256)
+    c1 = cfg_pyr(1)
+    f_direct = detector.detect(img, c1)
+    f_pyr = detector.detect_pyramid(img, c1)
+    np.testing.assert_allclose(np.asarray(f_direct.xy),
+                               np.asarray(f_pyr.xy))
+    assert np.array_equal(np.asarray(f_direct.desc), np.asarray(f_pyr.desc))
+
+
+def test_level_coordinates_map_to_full_res():
+    """A keypoint found at level l must land near the same image feature
+    at full-res coordinates."""
+    key = jax.random.PRNGKey(3)
+    img = _textured_image(key, 128, 256)
+    c = cfg_pyr(3)
+    f = detector.detect_pyramid(img, c)
+    xy = np.asarray(f.xy)[np.asarray(f.mask)]
+    assert len(xy) > 30
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 256).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 128).all()
+    # Levels 1+ occupy slots after level 0's 32*16:
+    lvl1 = np.asarray(f.xy)[32 * 16:][np.asarray(f.mask)[32 * 16:]]
+    assert len(lvl1) > 0
+    # Pool-center mapping puts level-1 coords on the half-pixel grid.
+    frac = np.abs((lvl1 - 0.5) % 2.0)
+    assert np.all((frac < 1e-4) | (frac > 2.0 - 1e-4))
+
+
+def test_pyramid_matches_across_2x_zoom():
+    """Detect on an image and on its 2x zoom (center crop upscaled);
+    descriptor matches must recover the known geometric map. Without the
+    pyramid BRIEF is not scale invariant and this fails."""
+    key = jax.random.PRNGKey(7)
+    h, w = 128, 256
+    img = _textured_image(key, h, w)
+    crop = img[h // 4:3 * h // 4, w // 4:3 * w // 4]
+    zoom = jax.image.resize(crop, (h, w), "linear")
+
+    c = cfg_pyr(3)
+    fa = detector.detect_pyramid(img, c)
+    fb = detector.detect_pyramid(zoom, c)
+    m = hamming.match(fa.desc, fb.desc, fa.mask, fb.mask, ratio=0.9,
+                      max_distance=80, cross_check=True)
+    xa = np.asarray(fa.xy)
+    xb = np.asarray(fb.xy)[np.asarray(m.idx)]
+    ok = np.asarray(m.mask)
+    # ground-truth map: x_zoom = (x_img - w/4) * 2, y_zoom = (y - h/4)*2
+    pred = (xa - np.array([w / 4.0, h / 4.0])) * 2.0
+    err = np.linalg.norm(pred - xb, axis=-1)
+    good = int(np.sum(ok & (err < 4.0)))
+    assert good >= 12, f"only {good} scale-consistent matches"
