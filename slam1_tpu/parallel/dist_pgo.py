@@ -98,6 +98,14 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
         Jj = jax.vmap(jax.jacfwd(_edge_residual, argnums=1))(
             zero, zero, T_i, T_j, z_blk)
         w = w_blk[:, None]
+        # Hard-mask disabled edges: padding z may be singular (e.g. the
+        # final global slot, or the wrap edge device S-1 -> 0), whose
+        # residual/Jacobian can be NaN — and 0 * nan = nan would poison
+        # the whole solve. where() on the computed values kills it.
+        valid = (w_blk > 0)[:, None]
+        r0 = jnp.where(valid, r0, 0.0)
+        Ji = jnp.where(valid[..., None], Ji, 0.0)
+        Jj = jnp.where(valid[..., None], Jj, 0.0)
 
         # Loop edges (replicated compute, local scatter).
         Tle_i, Tle_j = gather_loop(poses)
@@ -108,6 +116,10 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
         Jlj = jax.vmap(jax.jacfwd(_edge_residual, argnums=1))(
             zl, zl, Tle_i, Tle_j, le_z)
         wl = le_w[:, None]
+        lvalid = (le_w > 0)[:, None]
+        rl = jnp.where(lvalid, rl, 0.0)
+        Jli = jnp.where(lvalid[..., None], Jli, 0.0)
+        Jlj = jnp.where(lvalid[..., None], Jlj, 0.0)
 
         def scatter(y_odo, y_loop):
             """y_odo (B,6) per-odometry-edge, y_loop (E,6) per-loop-edge
@@ -153,7 +165,10 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
             p = rr + (rs_new / (rs + 1e-30)) * p
             return (x, rr, p, rs_new), None
 
-        x0 = jnp.zeros((B, 6), dt)
+        # zeros() is unvarying over the manual axis while the CG body's
+        # outputs are varying; pcast the initial carry to match (jax
+        # 0.9 shard_map vma check).
+        x0 = jax.lax.pcast(jnp.zeros((B, 6), dt), (axis,), to="varying")
         (delta, _, _, _), _ = jax.lax.scan(
             cg_body, (x0, b, b, pdot(b, b)), None, length=cg_iters)
         delta = pin(delta, jnp.zeros(6, dt))
@@ -166,10 +181,12 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
     T_j = jnp.concatenate([poses[1:], halo_T[None]])
     zero = jnp.zeros((B, 6), dt)
     r = jax.vmap(_edge_residual)(zero, zero, poses, T_j, z_blk)
+    r = jnp.where((w_blk > 0)[:, None], r, 0.0)
     c_odo = jnp.sum(w_blk * jnp.sum(r * r, axis=-1))
     Tle_i, Tle_j = gather_loop(poses)
     zl = jnp.zeros((E, 6), dt)
     rl = jax.vmap(_edge_residual)(zl, zl, Tle_i, Tle_j, le_z)
+    rl = jnp.where((le_w > 0)[:, None], rl, 0.0)
     c_loop = jnp.where(s == 0,
                        jnp.sum(le_w * jnp.sum(rl * rl, axis=-1)), 0.0)
     cost = jax.lax.psum(c_odo + c_loop, axis)
@@ -195,6 +212,12 @@ def optimize_sharded(poses, z_odo, w_odo, le_i, le_j, le_z, le_w,
     f = poses.shape[0]
     S = mesh.shape[axis]
     assert f % S == 0, (f, S)
+    # Replace disabled edges' measurements with identity so padding
+    # (often all-zeros, hence singular) can't generate NaNs upstream of
+    # the weight masks.
+    eye = jnp.eye(4, dtype=poses.dtype)
+    z_odo = jnp.where((w_odo > 0)[:, None, None], z_odo, eye)
+    le_z = jnp.where((le_w > 0)[:, None, None], le_z, eye)
     fn = shard_map(
         functools.partial(_local_pgo, axis=axis, iters=iters,
                           cg_iters=cg_iters, damping=damping),
