@@ -22,6 +22,13 @@ import numpy as np
 
 def _cmd_run(args):
     import jax
+    if getattr(args, "multihost", False):
+        from slam1_tpu.parallel.mesh import init_multihost
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id)
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} devices",
+              file=sys.stderr)
     from slam1_tpu.config import SlamConfig, tiny_config
     from slam1_tpu.models import pipeline, vo
     from slam1_tpu.utils import evalmetrics
@@ -142,8 +149,9 @@ def _cmd_ba(args):
         from slam1_tpu.models import pipeline
         from slam1_tpu.ops.camera import StereoCamera
         cfg = tiny_config() if args.tiny else SlamConfig()
-        from slam1_tpu.utils import checkpoint as ckpt_mod
-        meta = ckpt_mod.load_meta(args.state)
+        if args.iters is not None:   # honor --iters for the LM pass
+            cfg = dataclasses.replace(
+                cfg, ba=dataclasses.replace(cfg.ba, lm_iters=args.iters))
         cam = StereoCamera.for_canvas(cfg.image.height, cfg.image.width) \
             if args.tiny else StereoCamera.kitti_default()
         sys_ = pipeline.SlamSystem.resume(args.state, cam, cfg)
@@ -170,7 +178,8 @@ def _cmd_ba(args):
     graph = posegraph.PoseGraph(
         poses=jnp.asarray(poses), ei=ei, ej=ei + 1,
         z=se3.exp_se3(rel), w=jnp.ones(f - 1, jnp.float32))
-    opt, cost = posegraph.optimize(graph, iters=args.iters)
+    opt, cost = posegraph.optimize(
+        graph, iters=args.iters if args.iters is not None else 10)
     np.save(args.out, np.asarray(opt))
     print(json.dumps({"frames": f, "final_cost": float(cost)}))
     return 0
@@ -205,6 +214,14 @@ def main(argv=None):
     pr.add_argument("--resume", help="resume from a checkpoint .npz")
     pr.add_argument("--checkpoint-every", type=int, default=0)
     pr.add_argument("--checkpoint-dir", default="checkpoints")
+    pr.add_argument("--multihost", action="store_true",
+                    help="bring up jax.distributed (multi-host mesh over "
+                         "ICI/DCN) before running")
+    pr.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (multi-host; "
+                         "auto-detected on TPU pods)")
+    pr.add_argument("--num-processes", type=int, default=None)
+    pr.add_argument("--process-id", type=int, default=None)
     pr.set_defaults(fn=_cmd_run)
 
     pe = sub.add_parser("eval", help="ATE/RPE of est vs gt")
@@ -221,7 +238,9 @@ def main(argv=None):
                                     "global BA over keyframes+landmarks")
     pb.add_argument("--tiny", action="store_true")
     pb.add_argument("--out", default="optimized.npy")
-    pb.add_argument("--iters", type=int, default=10)
+    pb.add_argument("--iters", type=int, default=None,
+                    help="GN iterations (trajectory mode) / LM iterations "
+                         "(--state mode); defaults: 10 / cfg.ba.lm_iters")
     pb.set_defaults(fn=_cmd_ba)
 
     pn = sub.add_parser("bench", help="single-chip throughput bench")

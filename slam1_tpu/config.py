@@ -169,6 +169,19 @@ class BowConfig:
     # RANSAC verification provides the precision backstop).
     chi2_accept: float = 0.15
     rearm_frames: int = 100         # re-arm delay after a closure (main.py:106)
+    # Geometric-verification precision gates. A loop edge is weighted
+    # ~1000x in the pose graph (BAConfig.pg_loop_weight), so acceptance
+    # must be much stricter than frame-to-frame tracking's
+    # min_track_points=8: require >= min_loop_inliers PnP inliers AND
+    # the same BoW candidate (+-candidate_tol frames) on
+    # `confirm_polls` consecutive polls before verification fires.
+    min_loop_inliers: int = 20
+    confirm_polls: int = 2
+    candidate_tol: int = 2
+    # A hit FAR below the accept threshold (near-exact revisit) skips
+    # the multi-poll confirmation: it cannot plausibly be histogram
+    # noise, and end-of-sequence closures may only ever see one poll.
+    chi2_strong: float = 0.05
     backfill_desc_per_frame: int = 512  # descriptor sample stored per frame
                                     # for post-training DB backfill; the
                                     # backfilled histogram's chi^2 noise is

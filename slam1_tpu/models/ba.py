@@ -151,6 +151,64 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
     return dc, dl
 
 
+def _schur_solve_direct(problem, r, Jc, Jl, w, lam):
+    """One damped GN step via landmark elimination + a DENSE solve of
+    the reduced camera system.
+
+    For a local window (C <= ~16 cameras) the reduced system is only
+    (6C x 6C) — building it densely and solving by LU is exact and far
+    cheaper than 64 matrix-free CG sweeps over the observation arrays
+    (the CG path exists for global BA where C is large; see
+    `_schur_solve`). Memory: the per-landmark coupling tensor U is
+    (L, C, 6, 3) — at window scale (L ~ 2.5k, C = 5) under 1 MB.
+    """
+    C = problem.poses.shape[0]
+    L = problem.points.shape[0]
+    ci, li = problem.cam_idx, problem.lm_idx
+    w2 = w[:, None, None]
+
+    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oaj->oij", Jc, Jc) * w2)
+    Hll = jnp.zeros((L, 3, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oaj->oij", Jl, Jl) * w2)
+    W = jnp.einsum("oai,oaj->oij", Jc, Jl) * w2                   # (O,6,3)
+    bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
+        jnp.einsum("oai,oa->oi", Jc, r * w[:, None]))
+    bl = -jnp.zeros((L, 3), r.dtype).at[li].add(
+        jnp.einsum("oai,oa->oi", Jl, r * w[:, None]))
+
+    eye6 = jnp.eye(6, dtype=r.dtype)
+    eye3 = jnp.eye(3, dtype=r.dtype)
+    Hcc_d = Hcc + lam * _diag_only(Hcc) + 1e-6 * eye6
+    Hll_d = Hll + lam * _diag_only(Hll) + 1e-6 * eye3
+    Hll_inv = _inv3x3(Hll_d)                                      # (L,3,3)
+
+    # Per-landmark camera coupling U[l] = sum_{obs of l} W placed in the
+    # observing camera's 6-block.
+    U = jnp.zeros((L, C, 6, 3), r.dtype).at[li, ci].add(W)
+    UH = jnp.einsum("lcij,ljk->lcik", U, Hll_inv)                 # (L,C,6,3)
+    S_off = jnp.einsum("lcik,ldjk->cidj", UH, U)                  # (C,6,C,6)
+    idx = jnp.arange(C)
+    S = (jnp.zeros((C, 6, C, 6), r.dtype).at[idx, :, idx, :].set(Hcc_d)
+         - S_off)
+    btil = bc - jnp.einsum("lcik,lk->ci", UH, bl)                 # (C,6)
+
+    # Gauge: camera 0 block acts as identity (rows/cols zeroed, diag 1),
+    # matching the CG path's `.at[0].set(x[0])`.
+    S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
+    S = S.at[0, :, 0, :].set(eye6)
+    btil = btil.at[0].set(0.0)
+
+    dc = jnp.linalg.solve(S.reshape(C * 6, C * 6),
+                          btil.reshape(C * 6)).reshape(C, 6)
+    dc = dc.at[0].set(0.0)
+
+    u = jnp.einsum("oij,oi->oj", W, dc[ci])
+    s = jnp.zeros((L, 3), r.dtype).at[li].add(u)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - s)
+    return dc, dl
+
+
 def _diag_only(blocks):
     d = jnp.diagonal(blocks, axis1=-2, axis2=-1)
     return jax.vmap(jnp.diag)(d)
@@ -217,7 +275,10 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
             r2 = jnp.sum(r * r, axis=-1)
             w = w * (r2 < cut * cut)
         r_, Jc, Jl, w_ = _linearize(p, cam, w)
-        dc, dl = _schur_solve(p, r_, Jc, Jl, w_, lam, cfg.cg_iters)
+        if problem.poses.shape[0] <= 16:
+            dc, dl = _schur_solve_direct(p, r_, Jc, Jl, w_, lam)
+        else:
+            dc, dl = _schur_solve(p, r_, Jc, Jl, w_, lam, cfg.cg_iters)
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
         dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
         new_poses = poses @ se3.exp_se3(dc)

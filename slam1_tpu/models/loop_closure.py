@@ -66,5 +66,8 @@ def verify_loop(key, store: KeyframeStore, cand_frame, cur_feats: Features,
     # World pose implied by the loop: T_w_cur = T_w_kf @ inv(T_cur_kf)
     T_w_kf = store.poses[kf_idx]
     T_corr = T_w_kf @ se3.inverse(pnp.T)
+    # A loop edge is weighted ~1000x in the pose graph; demand far more
+    # support than tracking's min_track_points gate (pnp.ok).
+    ok = pnp.ok & (pnp.num_inliers >= cfg.bow.min_loop_inliers)
     return LoopResult(T_cur_kf=pnp.T, T_w_corrected=T_corr,
-                      num_inliers=pnp.num_inliers, ok=pnp.ok)
+                      num_inliers=pnp.num_inliers, ok=ok)

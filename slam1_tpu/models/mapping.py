@@ -110,46 +110,50 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     lo = jnp.floor((xyz_world - r) / vs).astype(jnp.int32)
     hi = jnp.floor((xyz_world + r) / vs).astype(jnp.int32)
 
+    # ONE batched probe over all 8 corner voxels x `probes` chain slots
+    # (a serialized 32-iteration probe loop is 32 HBM passes and wholly
+    # latency-bound on TPU; a (N, 8*probes) gather is one).
+    cx = jnp.stack([lo[:, 0], hi[:, 0]], -1)                 # (N,2)
+    cy = jnp.stack([lo[:, 1], hi[:, 1]], -1)
+    cz = jnp.stack([lo[:, 2], hi[:, 2]], -1)
+    # corner-major order (cx,cy,cz) to match probe priority semantics
+    hcor = ((cx[:, :, None, None] * _P1)
+            ^ (cy[:, None, :, None] * _P2)
+            ^ (cz[:, None, None, :] * _P3)).reshape(n, 8)    # (N,8)
+    hcor = jnp.abs(hcor) % cfg.hash_size
+    buckets = ((hcor[:, :, None] + jnp.arange(cfg.probes, dtype=jnp.int32))
+               % cfg.hash_size).reshape(n, 8 * cfg.probes)   # (N,8P)
+    slots = state.hash_slot[buckets]                          # (N,8P)
+    occ = slots >= 0
+    slots_c = jnp.maximum(slots, 0)
+    cand = state.xyz[slots_c]                                 # (N,8P,3)
+    near = occ & (jnp.sum((cand - xyz_world[:, None, :]) ** 2, -1) < r2)
+    if cfg.merge_desc_gate > 0:
+        # Appearance gate: positional proximity alone merges distinct
+        # points under drift and feeds BA inconsistent tracks; require
+        # descriptor agreement too.
+        cd = state.desc[slots_c]                              # (N,8P,D)
+        hd = jnp.sum(jax.lax.population_count(
+            jnp.bitwise_xor(cd, desc[:, None, :])).astype(jnp.int32),
+            axis=-1)
+        near = near & (hd <= cfg.merge_desc_gate)
+    first = jnp.argmax(near, axis=1)                          # (N,)
+    hash_row = jnp.where(near.any(axis=1),
+                         slots_c[jnp.arange(n), first], -1)
     # Track-inherited associations take priority over the hash probe.
     if known_row is not None:
         kr = jnp.asarray(known_row).astype(jnp.int32)
         k_ok = (kr >= 0) & (kr < state.xyz.shape[0])
-        merge_row = jnp.where(k_ok, kr, -1)
+        merge_row = jnp.where(k_ok, kr, hash_row)
     else:
-        merge_row = jnp.full((n,), -1, jnp.int32)
-    free_bucket = jnp.full((n,), -1, jnp.int32)
-    for cx in (0, 1):
-        for cy in (0, 1):
-            for cz in (0, 1):
-                v = jnp.stack([hi[:, 0] if cx else lo[:, 0],
-                               hi[:, 1] if cy else lo[:, 1],
-                               hi[:, 2] if cz else lo[:, 2]], axis=-1)
-                hc = (v[:, 0] * _P1) ^ (v[:, 1] * _P2) ^ (v[:, 2] * _P3)
-                hc = jnp.abs(hc) % cfg.hash_size
-                for p in range(cfg.probes):
-                    bucket = (hc + p) % cfg.hash_size
-                    slot = state.hash_slot[bucket]          # (N,)
-                    occ = slot >= 0
-                    cand = state.xyz[jnp.maximum(slot, 0)]
-                    near = occ & (jnp.sum((cand - xyz_world) ** 2, -1) < r2)
-                    if cfg.merge_desc_gate > 0:
-                        # Appearance gate: positional proximity alone
-                        # merges distinct points under drift and feeds
-                        # BA inconsistent tracks; require descriptor
-                        # agreement too.
-                        cd = state.desc[jnp.maximum(slot, 0)]
-                        hd = jnp.sum(jax.lax.population_count(
-                            jnp.bitwise_xor(cd, desc)).astype(jnp.int32),
-                            axis=-1)
-                        near = near & (hd <= cfg.merge_desc_gate)
-                    merge_row = jnp.where((merge_row < 0) & near, slot,
-                                          merge_row)
+        merge_row = hash_row
     # New landmarks are inserted on their OWN voxel's probe chain.
-    for p in range(cfg.probes):
-        bucket = (h0 + p) % cfg.hash_size
-        occ = state.hash_slot[bucket] >= 0
-        free_bucket = jnp.where((free_bucket < 0) & ~occ, bucket,
-                                free_bucket)
+    b0 = ((h0[:, None] + jnp.arange(cfg.probes, dtype=jnp.int32))
+          % cfg.hash_size)                                    # (N,P)
+    vac = state.hash_slot[b0] < 0
+    p0 = jnp.argmax(vac, axis=1)
+    free_bucket = jnp.where(vac.any(axis=1),
+                            b0[jnp.arange(n), p0], -1)
 
     is_merge = mask & (merge_row >= 0)
     is_new = mask & (merge_row < 0) & (free_bucket >= 0)
@@ -162,40 +166,42 @@ def insert(state: MapState, xyz_world, desc, mask, frame_idx, uv,
     is_new = is_new & fits
 
     frame_i = jnp.asarray(frame_idx).astype(jnp.int32)
+    cap_i = state.xyz.shape[0]
+    ones = jnp.ones((n,), jnp.int32)
     # --- merges: running-mean position + count bump. A merge also
     # revives a culled landmark (re-observation = still useful).
-    mrow = jnp.where(is_merge, merge_row, 0)
-    add_cnt = is_merge.astype(jnp.int32)
-    count = state.count.at[mrow].add(add_cnt)
-    old_cnt = state.count[mrow].astype(xyz_world.dtype)
+    # Non-merge lanes scatter OOB with mode="drop": a duplicate-index
+    # scatter-set with conflicting values is order-undefined in XLA, so
+    # dumping them on row 0 could nondeterministically clobber a real
+    # merge into row 0 (same clobber class as hash_slot's scratch
+    # bucket / the obs slots).
+    mrow_g = jnp.where(is_merge, merge_row, 0)            # gather index
+    mrow_w = jnp.where(is_merge, merge_row, cap_i)        # scatter: drop
+    count = state.count.at[mrow_w].add(ones, mode="drop")
+    old_cnt = state.count[mrow_g].astype(xyz_world.dtype)
     new_cnt = jnp.maximum(old_cnt + 1.0, 1.0)
-    delta = (xyz_world - state.xyz[mrow]) / new_cnt[:, None]
-    xyz = state.xyz.at[mrow].add(
-        jnp.where(is_merge[:, None], delta, 0.0))
-    valid = state.valid.at[mrow].set(state.valid[mrow] | is_merge)
-    last_frame = state.last_frame.at[mrow].set(
-        jnp.where(is_merge, frame_i, state.last_frame[mrow]))
+    delta = (xyz_world - state.xyz[mrow_g]) / new_cnt[:, None]
+    xyz = state.xyz.at[mrow_w].add(delta, mode="drop")
+    valid = state.valid.at[mrow_w].set(True, mode="drop")
+    last_frame = state.last_frame.at[mrow_w].set(frame_i, mode="drop")
 
     # --- inserts.
-    nrow = jnp.where(is_new, new_row, state.xyz.shape[0] - 1)
-    xyz = xyz.at[nrow].set(jnp.where(is_new[:, None], xyz_world,
-                                     xyz[nrow]))
-    desc_tbl = state.desc.at[nrow].set(
-        jnp.where(is_new[:, None], desc, state.desc[nrow]))
-    count = count.at[nrow].set(jnp.where(is_new, 1, count[nrow]))
-    valid = valid.at[nrow].set(jnp.where(is_new, True, valid[nrow]))
-    last_frame = last_frame.at[nrow].set(
-        jnp.where(is_new, frame_i, last_frame[nrow]))
+    nrow_w = jnp.where(is_new, new_row, cap_i)            # scatter: drop
+    xyz = xyz.at[nrow_w].set(xyz_world, mode="drop")
+    desc_tbl = state.desc.at[nrow_w].set(desc, mode="drop")
+    count = count.at[nrow_w].set(ones, mode="drop")
+    valid = valid.at[nrow_w].set(True, mode="drop")
+    last_frame = last_frame.at[nrow_w].set(frame_i, mode="drop")
     # Masked rows scatter into the scratch bucket H (never a real one —
     # bucket H-1 used to be silently clobberable).
     hbuck = jnp.where(is_new, free_bucket, cfg.hash_size)
     hash_slot = state.hash_slot.at[hbuck].set(
-        jnp.where(is_new, nrow, state.hash_slot[hbuck]))
+        jnp.where(is_new, new_row, state.hash_slot[hbuck]))
     hash_slot = hash_slot.at[cfg.hash_size].set(-1)
     cursor = state.cursor + jnp.sum(new_flag * fits.astype(jnp.int32))
 
     landmark_of = jnp.where(is_merge, merge_row,
-                            jnp.where(is_new, nrow, -1))
+                            jnp.where(is_new, new_row, -1))
 
     # --- observation records [frame, landmark, u, v] into this frame's
     # fixed slot row (static window slices for local BA).

@@ -276,11 +276,25 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig):
     rows_w = jnp.where(row_ok, rows, kf_cap)
     kf_poses = state.kf.poses.at[rows_w].set(out.poses, mode="drop")
     t_w = traj[jnp.clip(state.frame, 0, traj.shape[0] - 1)]
+
+    # Re-derive the odometry twists of every edge touching an updated
+    # pose: PGO re-solves from `rel` + loop edges, so stale twists would
+    # silently revert the BA refinement at the next relaxation.
+    # Convention (_pgo_step): rel[f] = -log(inv(traj[f-1]) @ traj[f]).
+    lo = jnp.min(jnp.where(fr_ok, frames, jnp.iinfo(jnp.int32).max))
+    rel_new = -jax.vmap(
+        lambda a, b: se3.log_se3(se3.inverse(a) @ b))(traj[:-1], traj[1:])
+    f_idx = jnp.arange(1, traj.shape[0])
+    upd = (f_idx >= lo) & (f_idx <= state.frame) & state.rel_mask[1:]
+    rel = state.rel.at[1:].set(
+        jnp.where(upd[:, None], rel_new, state.rel[1:]))
+
     new_state = state._replace(
         traj=traj,
         kf=state.kf._replace(poses=kf_poses),
         map=state.map._replace(xyz=xyz_new),
-        T_w_cam=t_w)
+        T_w_cam=t_w,
+        rel=rel)
     return new_state, cost
 
 
@@ -381,6 +395,8 @@ class SlamSystem:
         self._rearm_at = 0
         self._kf_at_last_ba = 1
         self._bow_trained = False
+        self._loop_streak = 0            # consecutive polls w/ same cand
+        self._loop_streak_cand = None
         self._pending: list = []         # device StepOutputs not yet pulled
         self._last_feats = None
 
@@ -427,10 +443,37 @@ class SlamSystem:
         frame = self.frame_count
         kf_n = int(latest.kf_n)
 
-        if (self._bow_trained and frame >= self._rearm_at
-                and bool(latest.loop_hit)):
-            self._try_close_loop(frame, int(latest.loop_candidate),
-                                 float(latest.loop_chi2), feats)
+        # Scan ALL drained outputs for a loop hit (a hit on a non-poll
+        # frame that fades by the poll frame must not be dropped); the
+        # most recent hit wins — the current frame's features usually
+        # still see the revisited place.
+        hit = None
+        first_frame = frame - len(drained) + 1
+        for k in range(len(drained) - 1, -1, -1):
+            if bool(drained[k].loop_hit):
+                hit = (first_frame + k, int(drained[k].loop_candidate),
+                       float(drained[k].loop_chi2))
+                break
+        if self._bow_trained and frame >= self._rearm_at and hit:
+            # Temporal consistency: require the same candidate
+            # (+-candidate_tol frames) on `confirm_polls` consecutive
+            # polls before spending a geometric verification — a
+            # single-poll spurious BoW hit must not fire a 1000x-weight
+            # loop edge.
+            cand = hit[1]
+            if (self._loop_streak_cand is not None
+                    and abs(cand - self._loop_streak_cand)
+                    <= cfg.bow.candidate_tol):
+                self._loop_streak += 1
+            else:
+                self._loop_streak = 1
+            self._loop_streak_cand = cand
+            strong = hit[2] <= cfg.bow.chi2_strong
+            if strong or self._loop_streak >= cfg.bow.confirm_polls:
+                self._try_close_loop(frame, cand, hit[2], feats)
+        else:
+            self._loop_streak = 0
+            self._loop_streak_cand = None
 
         if cfg.ba.local_every and (kf_n - self._kf_at_last_ba
                                    >= cfg.ba.local_every):
@@ -467,6 +510,8 @@ class SlamSystem:
         self.loop_edges.append((cand, frame, Z,
                                 float(self.cfg.ba.pg_loop_weight)))
         self._rearm_at = frame + self.cfg.bow.rearm_frames
+        self._loop_streak = 0
+        self._loop_streak_cand = None
         # Immediate trajectory relaxation over the affected span.
         self._run_pgo()
 
@@ -504,6 +549,8 @@ class SlamSystem:
             "seed": self.seed,
             "bow_train_frame": self.bow_train_frame,
             "bow_trained": self._bow_trained,
+            "loop_streak": self._loop_streak,
+            "loop_streak_cand": self._loop_streak_cand,
             "loop_edges": [
                 (int(i), int(j), np.asarray(Z).tolist(), float(w))
                 for i, j, Z, w in self.loop_edges],
@@ -527,6 +574,8 @@ class SlamSystem:
         sys_._rearm_at = meta["rearm_at"]
         sys_._kf_at_last_ba = meta["kf_at_last_ba"]
         sys_._bow_trained = meta.get("bow_trained", False)
+        sys_._loop_streak = meta.get("loop_streak", 0)
+        sys_._loop_streak_cand = meta.get("loop_streak_cand", None)
         sys_.loop_edges = [
             (i, j, np.asarray(Z, np.float32), w)
             for i, j, Z, w in meta["loop_edges"]]

@@ -89,10 +89,17 @@ def run_sequence(lefts, rights, cam: StereoCamera, cfg: SlamConfig,
     import numpy as np
 
     state = init_state(lefts[0], rights[0], cam, cfg, seed)
-    poses = [np.eye(4, dtype=np.float32)]
-    metrics = []
+    # Buffer device-side per-frame outputs and pull them in ONE transfer
+    # at the end: np.asarray(...) inside the loop would force a host
+    # sync every frame and serialize dispatch against the device.
+    # (vo_step donates the state, so snapshot the pose with a device
+    # copy — holding the donated buffer itself would be invalidated by
+    # the next step.)
+    poses_dev = [jnp.copy(state.T_w_cam)]
+    metrics_dev = []
     for i in range(1, lefts.shape[0]):
         state, m = vo_step(state, lefts[i], rights[i], cam, cfg)
-        poses.append(np.asarray(state.T_w_cam))
-        metrics.append(jax.tree.map(np.asarray, m))
+        poses_dev.append(jnp.copy(state.T_w_cam))
+        metrics_dev.append(m)
+    poses, metrics = jax.device_get((poses_dev, metrics_dev))
     return np.stack(poses), metrics

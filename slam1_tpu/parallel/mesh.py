@@ -19,6 +19,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY.md §7 step 8): one JAX process per
+    host, devices pooled into one global mesh; collectives ride ICI
+    within a slice and DCN across hosts. On TPU pods the three
+    arguments are auto-detected from the environment; on CPU/GPU
+    clusters pass them explicitly. Idempotent."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(n_devices: Optional[int] = None, lm_axis: Optional[int] = None
               ) -> Mesh:
     devs = jax.devices()
@@ -32,6 +48,19 @@ def make_mesh(n_devices: Optional[int] = None, lm_axis: Optional[int] = None
                 lm_axis = cand
                 break
     batch_axis = n // lm_axis
+    if jax.process_count() > 1 and n == len(jax.devices()):
+        # Multi-host: lay the mesh out so the lm axis (the
+        # communication-heavy BA axis) stays WITHIN each host's slice
+        # (ICI) and only the batch axis crosses hosts (DCN) — frames
+        # are per-host data anyway (each host loads its own shard).
+        from jax.experimental import mesh_utils
+        try:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (batch_axis // jax.process_count() or 1, lm_axis),
+                (jax.process_count(), 1))
+        except Exception:
+            grid = np.array(devs).reshape(batch_axis, lm_axis)
+        return Mesh(grid, axis_names=("batch", "lm"))
     grid = np.array(devs).reshape(batch_axis, lm_axis)
     return Mesh(grid, axis_names=("batch", "lm"))
 

@@ -159,3 +159,129 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert poses_b.shape == poses_a.shape
     # trajectories agree (PRNG path is restored exactly via the state key)
     np.testing.assert_allclose(poses_b, poses_a, atol=1e-3)
+
+
+def test_single_poll_spurious_hit_does_not_fire():
+    """A borderline BoW hit seen on only ONE poll must not spend a
+    geometric verification / fire a loop edge (confirm_polls=2); two
+    consecutive polls with the same candidate must."""
+    import jax.numpy as jnp
+
+    from slam1_tpu.models.pipeline import StepOutput
+
+    cfg, world, lefts, rights = _render("straight", n_frames=2)
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=1)
+    sys_.process(lefts[0], rights[0])
+    sys_.process(lefts[1], rights[1])
+    sys_._bow_trained = True
+    sys_._rearm_at = 0
+    calls = []
+    sys_._try_close_loop = lambda *a, **k: calls.append(a)
+
+    def fake_out(hit, cand, chi2):
+        z = np.int32(0)
+        return StepOutput(
+            loop_hit=np.asarray(hit), loop_candidate=np.int32(cand),
+            loop_chi2=np.float32(chi2), is_kf=np.asarray(True),
+            kf_n=np.int32(1), num_stereo=z, num_inliers=z,
+            mean_reproj_err=np.float32(0), pnp_ok=np.asarray(True))
+
+    borderline = cfg.bow.chi2_accept * 0.9       # a hit, but not "strong"
+    # Poll 1: single borderline hit -> streak 1, no verification.
+    sys_._pending = [fake_out(True, 5, borderline)]
+    sys_._poll(None)
+    assert not calls
+    # Poll 2: NO hit -> streak resets.
+    sys_._pending = [fake_out(False, -1, 1.0)]
+    sys_._poll(None)
+    # Poll 3: hit again -> streak back to 1, still no verification.
+    sys_._pending = [fake_out(True, 5, borderline)]
+    sys_._poll(None)
+    assert not calls
+    # Poll 4: same candidate (+-tol) on the consecutive poll -> fires.
+    sys_._pending = [fake_out(True, 6, borderline)]
+    sys_._poll(None)
+    assert len(calls) == 1
+    # A strong (near-zero chi2) single hit fires immediately after reset.
+    sys_._pending = [fake_out(False, -1, 1.0)]
+    sys_._poll(None)
+    sys_._pending = [fake_out(True, 9, cfg.bow.chi2_strong * 0.5)]
+    sys_._poll(None)
+    assert len(calls) == 2
+
+
+def test_hit_on_non_poll_frame_not_dropped():
+    """A loop_hit on a non-poll frame that fades by the poll frame must
+    still be seen (the poll scans ALL drained outputs)."""
+    from slam1_tpu.models.pipeline import StepOutput
+
+    cfg, world, lefts, rights = _render("straight", n_frames=2)
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=1)
+    sys_.process(lefts[0], rights[0])
+    sys_.process(lefts[1], rights[1])
+    sys_._bow_trained = True
+    sys_._rearm_at = 0
+    calls = []
+    sys_._try_close_loop = lambda *a, **k: calls.append(a)
+
+    def fake_out(hit, cand, chi2):
+        z = np.int32(0)
+        return StepOutput(
+            loop_hit=np.asarray(hit), loop_candidate=np.int32(cand),
+            loop_chi2=np.float32(chi2), is_kf=np.asarray(True),
+            kf_n=np.int32(1), num_stereo=z, num_inliers=z,
+            mean_reproj_err=np.float32(0), pnp_ok=np.asarray(True))
+
+    strong = cfg.bow.chi2_strong * 0.5
+    # hit on the FIRST of 4 drained frames only (fades by poll frame)
+    sys_._pending = [fake_out(True, 3, strong), fake_out(False, -1, 1.0),
+                     fake_out(False, -1, 1.0), fake_out(False, -1, 1.0)]
+    sys_._poll(None)
+    assert len(calls) == 1
+
+
+def test_selective_keyframe_policy_every3():
+    """keyframe_every=3: the is_kf=False path must actually run — fewer
+    keyframes than frames, smaller map, and the loop still closes
+    (r2 VERDICT weak #4 / next #5)."""
+    cfg, world, lefts, rights = _render("loop", n_points=1200)
+    cfg3 = cfg.replace(mapping=dataclasses.replace(
+        cfg.mapping, keyframe_every=3))
+    sys_ = pipeline.SlamSystem(world.cam, cfg3, bow_train_frame=8)
+    for i in range(lefts.shape[0]):
+        sys_.process(lefts[i], rights[i])
+    poses = sys_.finalize()
+    gt = np.asarray(world.poses)
+
+    n_frames = lefts.shape[0]
+    kf_n = int(sys_.state.kf.n)
+    assert kf_n < n_frames, kf_n              # is_kf=False path taken
+    assert kf_n >= n_frames // 3
+    ate = ate_rmse(poses, gt, align=False)
+    assert ate < 0.8, f"ATE {ate}"
+    assert np.mean([bool(m.pnp_ok) for m in sys_.metrics]) > 0.7
+
+    # Map stays consistent and SMALLER than the every-frame run.
+    sys1 = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=8)
+    for i in range(lefts.shape[0]):
+        sys1.process(lefts[i], rights[i])
+    sys1.finalize()
+    assert int(sys_.state.map.cursor) < int(sys1.state.map.cursor)
+    assert int(sys_.state.kf.n) < int(sys1.state.kf.n)
+
+
+def test_selective_keyframe_policy_translation_gate():
+    """keyframe_trans: motion-gated keyframes — a fast-enough trajectory
+    promotes some but not all frames; pipeline stays consistent."""
+    cfg, world, lefts, rights = _render("arc", n_frames=14, seed=5)
+    cfgt = cfg.replace(mapping=dataclasses.replace(
+        cfg.mapping, keyframe_every=1000, keyframe_trans=1.5))
+    sys_ = pipeline.SlamSystem(world.cam, cfgt, bow_train_frame=50)
+    for i in range(lefts.shape[0]):
+        sys_.process(lefts[i], rights[i])
+    poses = sys_.finalize(run_pgo=False)
+    gt = np.asarray(world.poses)
+    kf_n = int(sys_.state.kf.n)
+    assert 1 < kf_n < 14, kf_n
+    ate = ate_rmse(poses, gt, align=False)
+    assert ate < 0.8, f"ATE {ate}"
