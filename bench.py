@@ -77,6 +77,32 @@ def measure_slam(lefts, rights, cam, cfg):
     return n / dt
 
 
+def measure_ate(cfg, n_frames=300):
+    """ATE half of the BASELINE headline ("ATE parity ... at >=10x"):
+    full pipeline (mapping + BoW + loop closure + local BA + final PGO)
+    over an n_frames synthetic loop at production resolution, RMSE vs
+    GT without alignment (the ref's runtime GT diff, main.py:143-146,
+    is final-pose-only; RMSE over the whole trajectory is stricter)."""
+    import jax
+
+    from slam1_tpu.models import pipeline
+    from slam1_tpu.utils.evalmetrics import ate_rmse
+    from slam1_tpu.utils.synthetic import make_world, render_sequence
+
+    world = make_world(jax.random.PRNGKey(11), n_frames=n_frames,
+                       n_points=40 * n_frames, trajectory="loop",
+                       speed=1.0)
+    lefts, rights = render_sequence(world, cfg.image.height,
+                                    cfg.image.width)
+    jax.block_until_ready(lefts)
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
+    for i in range(n_frames):
+        sys_.process(lefts[i], rights[i])
+    poses = sys_.finalize()
+    ate = float(ate_rmse(poses, np.asarray(world.poses), align=False))
+    return ate, len(sys_.loop_edges)
+
+
 def measure_reference_equivalent(lefts_np, rights_np, cam):
     """OpenCV pipeline shaped like the reference's hot loop."""
     try:
@@ -164,6 +190,11 @@ def main():
 
     fps = measure_ours(lefts, rights, world.cam, cfg)
     slam_fps = measure_slam(lefts, rights, world.cam, cfg)
+    try:
+        ate, n_loops = measure_ate(cfg, n_frames=300)
+    except Exception as e:  # ATE half must not kill the fps contract
+        print(f"measure_ate failed: {e}", file=sys.stderr)
+        ate, n_loops = None, None
 
     cache_path = os.path.join(_REPO, ".bench_baseline.json")
     baseline_fps = None
@@ -187,6 +218,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 3) if vs == vs else None,
         "slam_frames_per_s_per_chip": round(slam_fps, 3),
+        "ate_rmse_m": round(ate, 4) if ate is not None else None,
+        "loop_closures": n_loops,
     }))
     return 0
 

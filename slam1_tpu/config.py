@@ -65,9 +65,14 @@ class DetectorConfig:
 
     @property
     def max_kp(self) -> int:
-        return sum(gr * gc * self.kp_per_tile
-                   for gr, gc in (self.level_grid(l)
-                                  for l in range(self.num_levels)))
+        raw = sum(gr * gc * self.kp_per_tile
+                  for gr, gc in (self.level_grid(l)
+                                 for l in range(self.num_levels)))
+        if self.num_levels == 1:
+            return raw
+        # Multi-level output is padded to a 128 multiple (masked slots)
+        # so the fused Pallas Hamming matcher always engages.
+        return -(-raw // 128) * 128
 
 
 @dataclass(frozen=True)

@@ -181,7 +181,18 @@ def detect_pyramid(img, cfg: DetectorConfig, valid_h=None,
         feats.append(f)
     if len(feats) == 1:
         return feats[0]
-    return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *feats)
+    out = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *feats)
+    # Pad capacity to a multiple of 128 with masked slots so the fused
+    # Pallas Hamming matcher (which tiles 128x128 onto the MXU) engages
+    # for ANY level-grid combination — no grid numerology required.
+    n = out.mask.shape[0]
+    pad = (-n) % 128
+    if pad:
+        out = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0),
+            out)
+    return out
 
 
 @functools.lru_cache(maxsize=8)

@@ -39,6 +39,69 @@ from slam1_tpu.ops.cg import cg
 from slam1_tpu.ops.lsq import huber_weights
 
 
+@functools.partial(jax.jit, static_argnames=("n_shards", "obs_per_shard"))
+def partition_problem_device(problem: BAProblem, n_shards: int,
+                             obs_per_shard: int = 0
+                             ) -> Tuple[BAProblem, jnp.ndarray]:
+    """Device-side, fully vectorized landmark partitioner (no host
+    round-trip, no Python loops — the host version below re-materializes
+    the whole problem on host per call, which at BASELINE-config-5 scale
+    becomes the serial bottleneck of the path whose point is scale).
+
+    Landmarks are block-partitioned by index (shard s owns rows
+    [s*Lk, (s+1)*Lk)); observations are routed to their landmark's shard
+    with a stable sort + per-shard rank, into fixed per-shard capacity
+    `obs_per_shard` (default: ceil(2*O/n_shards), covering up to 2x
+    imbalance). Overflowing observations are DROPPED (weight 0) — the
+    returned problem carries an `n_dropped` count in place of silent
+    truncation; callers should assert it is 0 or rebalance.
+
+    Returns ((sharded problem, orig landmark index per shard row),
+    n_dropped) packaged as (problem, orig, n_dropped).
+    """
+    L = problem.points.shape[0]
+    Lk = -(-L // n_shards)
+    O = problem.uv.shape[0]
+    Ok = obs_per_shard or max(-(-2 * O // n_shards), 1)
+
+    lm = problem.lm_idx
+    shard_of = jnp.clip(lm // Lk, 0, n_shards - 1)
+    # stable sort by shard: rank within shard = position - shard start
+    order = jnp.argsort(shard_of, stable=True)                  # (O,)
+    sorted_shard = shard_of[order]
+    start = jnp.searchsorted(sorted_shard,
+                             jnp.arange(n_shards, dtype=shard_of.dtype))
+    rank = jnp.arange(O) - start[sorted_shard]                  # (O,)
+    keep = rank < Ok
+    row = jnp.where(keep, sorted_shard * Ok + rank, n_shards * Ok)
+    n_dropped = jnp.sum(~keep)
+
+    def scatter(x, fill=0):
+        flat = jnp.full((n_shards * Ok,) + x.shape[1:], fill, x.dtype)
+        return flat.at[row].set(x[order], mode="drop").reshape(
+            (n_shards, Ok) + x.shape[1:])
+
+    cam_idx = scatter(problem.cam_idx)
+    lm_local = scatter(lm - shard_of * Lk)
+    uv = scatter(problem.uv)
+    w = scatter(problem.w)
+    ur = scatter(problem.ur)
+    wr = scatter(problem.wr)
+
+    # landmark blocks (pad the tail shard with zeros)
+    pad = n_shards * Lk - L
+    pts = jnp.concatenate(
+        [problem.points,
+         jnp.zeros((pad, 3), problem.points.dtype)]).reshape(
+        n_shards, Lk, 3)
+    orig = jnp.arange(n_shards * Lk, dtype=jnp.int32).reshape(
+        n_shards, Lk)
+
+    return (problem._replace(points=pts, cam_idx=cam_idx,
+                             lm_idx=lm_local, uv=uv, w=w, ur=ur, wr=wr),
+            orig, n_dropped)
+
+
 def partition_problem(problem: BAProblem, n_shards: int
                       ) -> Tuple[BAProblem, jnp.ndarray]:
     """Re-index a BAProblem into `n_shards` landmark blocks.
@@ -47,6 +110,9 @@ def partition_problem(problem: BAProblem, n_shards: int
     their landmark's shard and padded to equal per-shard counts.
     Returns (problem with [shard-local] points/obs stacked shard-major,
     original landmark index per shard row) — all host-side numpy work.
+    Exact (no capacity drops): used by tests as the oracle for
+    `partition_problem_device`, and fine for one-shot setup; use the
+    device version inside loops.
     """
     import numpy as np
     L = problem.points.shape[0]

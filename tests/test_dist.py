@@ -76,3 +76,51 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_partition_problem_device_matches_host():
+    """The fully-vectorized device partitioner must reproduce the host
+    oracle: same shard contents (as multisets of observations), same
+    landmark blocks, zero drops at default capacity."""
+    from slam1_tpu.parallel.dist_ba import partition_problem_device
+
+    prob, *_ = make_ba_problem(n_cams=4, n_pts=40)
+    n_shards = 4
+    sp_h, orig_h = partition_problem(prob, n_shards)
+    sp_d, orig_d, dropped = partition_problem_device(prob, n_shards)
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(sp_d.points),
+                                  np.asarray(sp_h.points))
+    np.testing.assert_array_equal(np.asarray(orig_d)[
+        :, :orig_h.shape[1]], np.asarray(orig_h))
+    # Per-shard observation multisets agree (padding layouts may differ).
+    for s in range(n_shards):
+        def rows(sp):
+            w = np.asarray(sp.w[s]) > 0
+            r = np.stack([np.asarray(sp.cam_idx[s])[w],
+                          np.asarray(sp.lm_idx[s])[w],
+                          np.asarray(sp.uv[s])[w][:, 0],
+                          np.asarray(sp.uv[s])[w][:, 1]], -1)
+            return r[np.lexsort(r.T)]
+        np.testing.assert_allclose(rows(sp_d), rows(sp_h))
+
+
+def test_partition_problem_device_feeds_distributed_ba():
+    """End-to-end: device partition -> distributed BA converges to the
+    same solution as the host-partitioned path."""
+    from slam1_tpu.parallel.dist_ba import partition_problem_device
+
+    prob, T_true, pts_true, cam = make_ba_problem(n_cams=5, n_pts=80,
+                                                  px_noise=0.0)
+    cfg = BAConfig(lm_iters=6, cg_iters=30)
+    mesh = make_mesh(8, lm_axis=4)
+    sp_h, _ = partition_problem(prob, 4)
+    sp_d, _, dropped = partition_problem_device(prob, 4)
+    assert int(dropped) == 0
+    # capacities may differ; pad host problem is the reference result
+    out_h, cost_h = distributed_bundle_adjust(sp_h, cam, cfg, mesh)
+    out_d, cost_d = distributed_bundle_adjust(sp_d, cam, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(out_d.poses),
+                               np.asarray(out_h.poses), atol=1e-4)
+    assert abs(float(cost_d) - float(cost_h)) < 1e-3 * max(
+        1.0, float(cost_h))

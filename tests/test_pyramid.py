@@ -34,10 +34,25 @@ def test_max_kp_accounts_for_levels():
     assert c.level_grid(0) == (4, 8)
     assert c.level_grid(1) == (2, 4)
     assert c.level_grid(2) == (1, 2)
-    assert c.max_kp == (32 + 8 + 2) * 16
-    # Default production config keeps the 128-multiple contract for the
-    # fused Hamming matcher.
+    # raw capacity (32+8+2)*16 = 672, padded up to the 128 multiple
+    assert c.max_kp == 768
+    # multi-level configs always satisfy the fused-matcher contract now
     assert DetectorConfig().max_kp % 128 == 0
+    import math
+    half = dataclasses.replace(DetectorConfig(), num_levels=5,
+                               scale_factor=math.sqrt(2.0))
+    assert half.max_kp % 128 == 0
+
+
+def test_pyramid_output_padded_and_masked():
+    key = jax.random.PRNGKey(1)
+    img = _textured_image(key, 128, 256)
+    c = cfg_pyr(3)
+    f = detector.detect_pyramid(img, c)
+    assert f.xy.shape[0] == c.max_kp
+    assert f.xy.shape[0] % 128 == 0
+    # padding slots are masked out
+    assert not np.asarray(f.mask)[672:].any()
 
 
 def test_single_level_passthrough():
@@ -93,3 +108,48 @@ def test_pyramid_matches_across_2x_zoom():
     err = np.linalg.norm(pred - xb, axis=-1)
     good = int(np.sum(ok & (err < 4.0)))
     assert good >= 12, f"only {good} scale-consistent matches"
+
+
+def _scale_matches(img, cfg, zoom_f, h=128, w=256):
+    """Count geometry-consistent descriptor matches between an image and
+    its zoom_f center-crop upscale."""
+    ch, cw = int(h / zoom_f), int(w / zoom_f)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    crop = img[y0:y0 + ch, x0:x0 + cw]
+    zoom = jax.image.resize(crop, (h, w), "linear")
+    fa = detector.detect_pyramid(img, cfg)
+    fb = detector.detect_pyramid(zoom, cfg)
+    m = hamming.match(fa.desc, fb.desc, fa.mask, fb.mask, ratio=0.9,
+                      max_distance=80, cross_check=True)
+    xa = np.asarray(fa.xy)
+    xb = np.asarray(fb.xy)[np.asarray(m.idx)]
+    ok = np.asarray(m.mask)
+    pred = (xa - np.array([x0, y0])) * zoom_f
+    err = np.linalg.norm(pred - xb, axis=-1)
+    return int(np.sum(ok & (err < 4.0)))
+
+
+def test_half_octave_pyramid_matches_at_1p4x():
+    """A loop revisit at a NON-octave scale ratio (1.4x, between 2.0
+    octaves) must still match. The half-octave (sqrt 2) pyramid covers
+    the inter-octave band (r2 VERDICT missing #3 / next #6); the ref
+    runs 8 levels at 1.2 (/root/reference/orb.py:29-33)."""
+    import math
+    key = jax.random.PRNGKey(7)
+    img = _textured_image(key, 128, 256)
+    c = dataclasses.replace(cfg_pyr(5), scale_factor=math.sqrt(2.0))
+    for zf in (1.2, 1.4, 1.7):
+        good = _scale_matches(img, c, zf)
+        assert good >= 30, f"only {good} matches at {zf}x"
+
+
+def test_octave_pyramid_scale_tolerance_curve():
+    """Measured tolerance of the 3-octave config across the scale band:
+    strong at near-octave ratios, reduced but nonzero between octaves
+    (the half-octave config above is the fix when that band matters)."""
+    key = jax.random.PRNGKey(7)
+    img = _textured_image(key, 128, 256)
+    c = cfg_pyr(3)
+    assert _scale_matches(img, c, 1.2) >= 40
+    assert _scale_matches(img, c, 1.4) >= 12
+    assert _scale_matches(img, c, 2.0) >= 12
