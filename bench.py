@@ -1,17 +1,22 @@
-"""Single-chip SLAM throughput benchmark (driver contract).
+"""Single-chip SLAM throughput + accuracy benchmark (driver contract).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures frames/s of the full jitted VO step (tiled FAST/BRIEF detect on
-both stereo images, MXU Hamming L-R + temporal matching, triangulation,
-256-hypothesis RANSAC-PnP, pose chaining) on KITTI-sized synthetic
-frames (384x1280 canvas ~ 1226x370 KITTI, ref XXXport_files.py:51).
+Headline metric: frames/s of the FULL SLAM pipeline (frontend, temporal
+tracking, PnP, mapping, BoW place recognition, loop closure with
+geometric verification, windowed local BA, pose-graph relaxation) over a
+300-frame synthetic loop at production resolution (376x1280 canvas ~
+1226x370 KITTI, ref XXXport_files.py:51), plus the trajectory ATE RMSE
+vs ground truth after finalize — BOTH halves of the BASELINE headline
+("ATE parity ... at >=10x the reference's frames/s").
 
-vs_baseline: ratio to a reference-equivalent OpenCV pipeline (tiled ORB
-x2, FLANN L-R match, triangulate, FLANN temporal match, solvePnPRansac —
-mirroring /root/reference/main.py:76-122's per-frame hot path) timed on
-the same images on this host's CPU. The baseline number is cached in
-.bench_baseline.json after first measurement.
+vs_baseline: ratio to a reference-equivalent OpenCV/sklearn pipeline
+timed on this host's CPU, mirroring /root/reference/main.py:76-132's
+per-frame hot path INCLUDING its KDTree global-map merge
+(keypoint.py:102-122) and BoW chi^2 scan (bag_of_words.py:29-42) — not
+just the frontend (r2 VERDICT weak #9). Also reported: VO-only fps
+(detect/match/triangulate/PnP fused step) against the frontend-only
+baseline. Baseline numbers are cached in .bench_baseline.json.
 """
 
 from __future__ import annotations
@@ -26,63 +31,35 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-N_FRAMES = 24
-WARMUP = 3
+N_FRAMES = 24          # VO clip length (cycled VO_STEPS times)
+VO_STEPS = 120
+SLAM_FRAMES = 300      # full-pipeline loop clip
 
 
-def measure_ours(lefts, rights, cam, cfg):
+def measure_vo(lefts, rights, cam, cfg):
     import jax
     from slam1_tpu.models import vo
 
     state = vo.init_state(lefts[0], rights[0], cam, cfg)
-    # Warm-up: compile + a few steps.
-    for i in range(1, 1 + WARMUP):
+    for i in range(1, 4):                      # warm-up: compile + steps
         state, m = vo.vo_step(state, lefts[i], rights[i], cam, cfg)
     jax.block_until_ready(state.T_w_cam)
 
+    n_img = lefts.shape[0]
     t0 = time.perf_counter()
-    n = 0
-    for i in range(1 + WARMUP, lefts.shape[0]):
+    for k in range(VO_STEPS):
+        i = 1 + (k % (n_img - 1))
         state, m = vo.vo_step(state, lefts[i], rights[i], cam, cfg)
-        n += 1
     jax.block_until_ready(state.T_w_cam)
-    dt = time.perf_counter() - t0
-    return n / dt
+    return VO_STEPS / (time.perf_counter() - t0)
 
 
-def measure_slam(lefts, rights, cam, cfg):
-    """Full SLAM pipeline fps: frontend + tracking + mapping + BoW +
-    loop-trigger polling + windowed local BA cadence (r1 VERDICT #4:
-    the shipped pipeline must be benched, not just VO)."""
-    import jax
-
-    from slam1_tpu.models import pipeline
-
-    # Warm pass over the whole clip: compiles every jit the pipeline can
-    # reach (slam_step, BoW train/backfill, windowed local BA).
-    warm = pipeline.SlamSystem(cam, cfg, bow_train_frame=8)
-    for i in range(lefts.shape[0]):
-        warm.process(lefts[i], rights[i])
-    jax.block_until_ready(warm.state.T_w_cam)
-
-    sys_ = pipeline.SlamSystem(cam, cfg, bow_train_frame=8)
-    sys_.process(lefts[0], rights[0])
-    t0 = time.perf_counter()
-    n = 0
-    for i in range(1, lefts.shape[0]):
-        sys_.process(lefts[i], rights[i])
-        n += 1
-    jax.block_until_ready(sys_.state.T_w_cam)
-    dt = time.perf_counter() - t0
-    return n / dt
-
-
-def measure_ate(cfg, n_frames=300):
-    """ATE half of the BASELINE headline ("ATE parity ... at >=10x"):
-    full pipeline (mapping + BoW + loop closure + local BA + final PGO)
-    over an n_frames synthetic loop at production resolution, RMSE vs
-    GT without alignment (the ref's runtime GT diff, main.py:143-146,
-    is final-pose-only; RMSE over the whole trajectory is stricter)."""
+def measure_slam(cfg, n_frames=SLAM_FRAMES):
+    """Full pipeline over an n_frames synthetic loop: returns
+    (frames/s of the process loop, ATE RMSE m after finalize,
+    accepted loop closures). ATE is RMSE vs GT without alignment — the
+    ref's runtime GT diff (main.py:143-146) is final-pose-only; RMSE
+    over the whole trajectory is stricter."""
     import jax
 
     from slam1_tpu.models import pipeline
@@ -95,20 +72,32 @@ def measure_ate(cfg, n_frames=300):
     lefts, rights = render_sequence(world, cfg.image.height,
                                     cfg.image.width)
     jax.block_until_ready(lefts)
-    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
+
+    # Warm pass: compiles every jit the pipeline can reach (slam_step,
+    # BoW train/backfill, local BA, loop verification, PGO).
+    warm = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
     for i in range(n_frames):
+        warm.process(lefts[i], rights[i])
+    warm.finalize()
+
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
+    sys_.process(lefts[0], rights[0])
+    t0 = time.perf_counter()
+    for i in range(1, n_frames):
         sys_.process(lefts[i], rights[i])
+    jax.block_until_ready(sys_.state.T_w_cam)
+    fps = (n_frames - 1) / (time.perf_counter() - t0)
     poses = sys_.finalize()
     ate = float(ate_rmse(poses, np.asarray(world.poses), align=False))
-    return ate, len(sys_.loop_edges)
+    return fps, ate, len(sys_.loop_edges), lefts, rights, world
 
 
-def measure_reference_equivalent(lefts_np, rights_np, cam):
-    """OpenCV pipeline shaped like the reference's hot loop."""
-    try:
-        import cv2
-    except ImportError:
-        return None
+def _reference_pipeline(cam, with_mapping: bool):
+    """Per-frame step shaped like the reference's hot loop
+    (/root/reference/main.py:76-132). with_mapping adds the KDTree map
+    merge (keypoint.py:102-122) + BoW chi^2 scan (bag_of_words.py:29-42)
+    the full-pipeline comparison must include."""
+    import cv2
     K = np.asarray(cam.K, np.float64)
     P_l, P_r = (np.asarray(p, np.float64) for p in cam.projection_matrices())
 
@@ -133,8 +122,11 @@ def measure_reference_equivalent(lefts_np, rights_np, cam):
         return kps, np.concatenate(descs)
 
     bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+    state = {"map": None, "hists": [], "orb_full": cv2.ORB_create(100)}
+    if with_mapping:
+        from sklearn.neighbors import KDTree  # noqa: F401
 
-    def step(li, ri, l_next):
+    def step(li, ri, l_next, frame_idx):
         kl, dl = detect_tiled(li)
         kr, dr = detect_tiled(ri)
         kn, dn = detect_tiled(l_next)
@@ -161,17 +153,51 @@ def measure_reference_equivalent(lefts_np, rights_np, cam):
         X3 = np.float64([X[m.queryIdx] for m in good2])
         uv2 = np.float64([kn[m.trainIdx].pt for m in good2])
         cv2.solvePnPRansac(X3, uv2, K, None, reprojectionError=3.0)
+        if not with_mapping:
+            return
+        # --- global map merge: KDTree over the WHOLE map, rebuilt per
+        # frame (ref keypoint.py:110-111, main.py:124-127).
+        from sklearn.neighbors import KDTree
+        if state["map"] is None:
+            state["map"] = X
+        else:
+            tree = KDTree(state["map"])
+            dist, idx = tree.query(X, k=1)
+            thresh = np.maximum(0.5, 0.01 * np.abs(X[:, 2]))
+            new = X[dist[:, 0] > thresh]
+            if len(new):
+                state["map"] = np.vstack([state["map"], new])
+        # --- BoW: ORB on the full image + chi^2 against ALL past frames
+        # (ref bag_of_words.py:29-42, O(i) per frame).
+        _, dfull = state["orb_full"].detectAndCompute(li, None)
+        if dfull is not None:
+            h_ = np.histogram(dfull[:, 0], bins=50, range=(0, 255))[0] \
+                .astype(np.float64)
+            for h2 in state["hists"]:
+                d = h_ - h2
+                s = h_ + h2 + 1e-9
+                (d * d / s).sum()
+            state["hists"].append(h_)
 
+    return step
+
+
+def measure_reference(lefts_np, rights_np, cam, with_mapping, n):
+    try:
+        import cv2  # noqa: F401
+        if with_mapping:
+            import sklearn  # noqa: F401
+    except ImportError:
+        return None
+    step = _reference_pipeline(cam, with_mapping)
     u8_l = [(np.asarray(l) * 255).astype(np.uint8) for l in lefts_np]
     u8_r = [(np.asarray(r) * 255).astype(np.uint8) for r in rights_np]
-    # warm-up one step, then time
-    step(u8_l[0], u8_r[0], u8_l[1])
-    n = min(8, len(u8_l) - 1)
+    step(u8_l[0], u8_r[0], u8_l[1], 0)       # warm-up
+    n = min(n, len(u8_l) - 1)
     t0 = time.perf_counter()
     for i in range(n):
-        step(u8_l[i], u8_r[i], u8_l[i + 1])
-    dt = time.perf_counter() - t0
-    return n / dt
+        step(u8_l[i], u8_r[i], u8_l[i + 1], i)
+    return n / (time.perf_counter() - t0)
 
 
 def main():
@@ -188,38 +214,53 @@ def main():
                                     cfg.image.width)
     jax.block_until_ready(lefts)
 
-    fps = measure_ours(lefts, rights, world.cam, cfg)
-    slam_fps = measure_slam(lefts, rights, world.cam, cfg)
+    vo_fps = measure_vo(lefts, rights, world.cam, cfg)
     try:
-        ate, n_loops = measure_ate(cfg, n_frames=300)
+        slam_fps, ate, n_loops, s_lefts, s_rights, s_world = \
+            measure_slam(cfg)
     except Exception as e:  # ATE half must not kill the fps contract
-        print(f"measure_ate failed: {e}", file=sys.stderr)
-        ate, n_loops = None, None
+        print(f"measure_slam failed: {e}", file=sys.stderr)
+        slam_fps, ate, n_loops = None, None, None
+        s_lefts = s_rights = s_world = None
 
     cache_path = os.path.join(_REPO, ".bench_baseline.json")
-    baseline_fps = None
+    cache = {}
     if os.path.exists(cache_path):
         try:
-            baseline_fps = json.load(open(cache_path))["reference_fps"]
+            cache = json.load(open(cache_path))
         except Exception:
-            baseline_fps = None
-    if baseline_fps is None:
-        baseline_fps = measure_reference_equivalent(
-            np.asarray(lefts[:10]), np.asarray(rights[:10]), world.cam)
-        if baseline_fps:
-            json.dump({"reference_fps": baseline_fps,
-                       "host": "cpu-reference-equivalent"},
-                      open(cache_path, "w"))
+            cache = {}
+    ref_vo = cache.get("reference_fps")
+    ref_slam = cache.get("reference_slam_fps")
+    if ref_vo is None:
+        ref_vo = measure_reference(np.asarray(lefts[:10]),
+                                   np.asarray(rights[:10]), world.cam,
+                                   with_mapping=False, n=8)
+    if ref_slam is None and s_lefts is not None:
+        # Time the reference WITH its per-frame map/BoW cost grown to a
+        # realistic map size: run 60 frames of the loop clip (the KDTree
+        # rebuild cost grows with map size; 60 frames ~ a few thousand
+        # map points, matching its KITTI-scale steady state).
+        ref_slam = measure_reference(
+            np.asarray(s_lefts[:61]), np.asarray(s_rights[:61]),
+            s_world.cam, with_mapping=True, n=60)
+    if ref_vo or ref_slam:
+        json.dump({"reference_fps": ref_vo,
+                   "reference_slam_fps": ref_slam,
+                   "host": "cpu-reference-equivalent"},
+                  open(cache_path, "w"))
 
-    vs = fps / baseline_fps if baseline_fps else float("nan")
+    vs_slam = (slam_fps / ref_slam) if (slam_fps and ref_slam) else None
+    vs_vo = (vo_fps / ref_vo) if ref_vo else None
     print(json.dumps({
-        "metric": "vo_frames_per_s_per_chip",
-        "value": round(fps, 3),
+        "metric": "slam_frames_per_s_per_chip",
+        "value": round(slam_fps, 3) if slam_fps else None,
         "unit": "frames/s",
-        "vs_baseline": round(vs, 3) if vs == vs else None,
-        "slam_frames_per_s_per_chip": round(slam_fps, 3),
+        "vs_baseline": round(vs_slam, 3) if vs_slam else None,
         "ate_rmse_m": round(ate, 4) if ate is not None else None,
         "loop_closures": n_loops,
+        "vo_frames_per_s_per_chip": round(vo_fps, 3),
+        "vo_vs_baseline": round(vs_vo, 3) if vs_vo else None,
     }))
     return 0
 

@@ -187,13 +187,23 @@ class BowConfig:
     # the multi-poll confirmation: it cannot plausibly be histogram
     # noise, and end-of-sequence closures may only ever see one poll.
     chi2_strong: float = 0.05
-    backfill_desc_per_frame: int = 512  # descriptor sample stored per frame
-                                    # for post-training DB backfill; the
-                                    # backfilled histogram's chi^2 noise is
-                                    # ~(num_words-1)/(2*this)
+    backfill_desc_per_frame: int = 1024  # descriptor sample per frame; ALL
+                                    # DB rows (live + backfilled) build
+                                    # their histogram from this sample so
+                                    # every row has the same chi^2 noise
+                                    # floor ~(num_words-1)/(2*this)
     loop_poll_every: int = 4        # host polls the device trigger flag
                                     # every N frames (avoids a per-frame
                                     # device->host sync)
+    # Asynchronous poll consumption: each frame's packed metrics row is
+    # prefetched to the host with copy_to_host_async; a poll only
+    # CONSUMES rows older than poll_lag_s seconds (their copy has
+    # landed), so the camera loop never blocks on a device->host round
+    # trip (~30 ms through a remote-TPU tunnel). 0 = consume everything
+    # at every poll (deterministic; used by tests). finalize() and
+    # checkpoints force-drain.
+    poll_lag_s: float = 0.05
+    poll_max_pending: int = 512     # force-drain backstop on queue depth
     sample_desc_per_frame: int = 128  # descriptors sampled per frame for vocab
 
 
@@ -258,7 +268,8 @@ def tiny_config() -> SlamConfig:
         mapping=MappingConfig(capacity=1 << 12, hash_size=1 << 13,
                               obs_per_frame=192, max_frames=512),
         bow=BowConfig(num_words=64, train_iters=6, query_exclude=10,
-                      sample_desc_per_frame=64, backfill_desc_per_frame=192),
+                      sample_desc_per_frame=64, backfill_desc_per_frame=192,
+                      poll_lag_s=0.0),
         tracking=TrackingConfig(ransac_iters=64),
         disparity=DisparityConfig(max_disp=32, radius=3),
     )

@@ -105,11 +105,11 @@ def add_frame(state: BowState, key, frame_idx, desc, mask,
     """Insert this frame's histogram + descriptor sample; gated on
     keyframe status (only keyframes have a snapshot for geometric
     verification)."""
-    h = histogram(desc, mask, state.vocab)
     ok = jnp.asarray(is_kf)
     row = jnp.where(ok, jnp.minimum(frame_idx, state.db.shape[0] - 1),
                     state.db.shape[0])            # OOB -> dropped
-    # Uniform random sample of valid descriptors for future backfill.
+    # Uniform random sample of valid descriptors (also kept for future
+    # backfill).
     s = state.frame_desc.shape[1]
     g = -jnp.log(-jnp.log(jax.random.uniform(key, mask.shape, minval=1e-9,
                                              maxval=1.0)))
@@ -122,6 +122,14 @@ def add_frame(state: BowState, key, frame_idx, desc, mask,
         picked = jnp.concatenate(
             [picked, jnp.zeros((pad,) + picked.shape[1:], picked.dtype)])
         picked_ok = jnp.concatenate([picked_ok, jnp.zeros(pad, bool)])
+    # The DB row comes from the SAME fixed-size sample as backfilled
+    # rows, so every row carries the SAME sampling-noise floor. Mixing
+    # full-frame rows (noise ~K/2N) with backfilled sampled rows (noise
+    # ~K/2S, S<N) biases the argmin AWAY from pre-training frames: a
+    # true revisit to frame 0 scores its row's higher noise floor and
+    # loses to an accidental match against any clean row — exactly the
+    # frames a KITTI-00 loop returns to.
+    h = histogram(picked, picked_ok, state.vocab)
     return state._replace(
         db=state.db.at[row].set(h, mode="drop"),
         db_mask=state.db_mask.at[row].set(state.trained, mode="drop"),

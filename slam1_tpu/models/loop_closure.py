@@ -38,6 +38,13 @@ class LoopResult(NamedTuple):
     ok: jnp.ndarray
 
 
+class LoopPairResult(NamedTuple):
+    T_anchor_cand: jnp.ndarray   # (4,4) anchor camera from candidate camera
+    anchor_frame: jnp.ndarray    # () int32 frame index of the anchor kf
+    num_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def verify_loop(key, store: KeyframeStore, cand_frame, cur_feats: Features,
                 cam: StereoCamera, cfg: SlamConfig) -> LoopResult:
@@ -71,3 +78,53 @@ def verify_loop(key, store: KeyframeStore, cand_frame, cur_feats: Features,
     ok = pnp.ok & (pnp.num_inliers >= cfg.bow.min_loop_inliers)
     return LoopResult(T_cur_kf=pnp.T, T_w_corrected=T_corr,
                       num_inliers=pnp.num_inliers, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_loop_pair(key, store: KeyframeStore, cand_frame, hit_frame,
+                     cam: StereoCamera, cfg: SlamConfig) -> LoopPairResult:
+    """Keyframe-vs-keyframe loop verification (lag-tolerant).
+
+    The asynchronous host poll may learn about a BoW hit tens of frames
+    after it fired; by then the live camera no longer sees the revisited
+    place, so verification against CURRENT features (verify_loop) would
+    fail. Both endpoints are instead taken from the keyframe store: the
+    candidate keyframe's triangulated 3D points are matched against the
+    2D keypoints of the nearest keyframe at-or-before `hit_frame` (the
+    anchor) — the exact pair the hit was about. This also matches the
+    reference's semantics: close_loop(idx, i) relocalizes the HIT frame
+    i against candidate idx (/root/reference/loop_closure.py:7-32), not
+    whatever frame the host got around to handling it on.
+    """
+    cand_frame = jnp.asarray(cand_frame).astype(jnp.int32)
+    hit_frame = jnp.asarray(hit_frame).astype(jnp.int32)
+    row = store.row_of_frame[
+        jnp.clip(cand_frame, 0, store.row_of_frame.shape[0] - 1)]
+    kf_idx = jnp.clip(row, 0, store.xyz.shape[0] - 1)
+    kf_xyz = store.xyz[kf_idx]
+    kf_desc = store.desc[kf_idx]
+    kf_mask = store.mask[kf_idx] & (row >= 0) & (cand_frame >= 0)
+
+    # Anchor: the newest keyframe whose frame index <= hit_frame.
+    fo = store.frame_of_row                      # (F,) -1 for empty rows
+    elig = (fo >= 0) & (fo <= hit_frame)
+    a_row = jnp.argmax(jnp.where(elig, fo, -1))
+    anchor_ok = jnp.any(elig)
+    a_idx = jnp.clip(a_row, 0, store.xyz.shape[0] - 1)
+    a_frame = jnp.where(anchor_ok, fo[a_idx], -1)
+    a_desc = store.desc[a_idx]
+    a_uv = store.uv[a_idx]
+    a_mask = store.mask[a_idx] & anchor_ok & (a_frame != cand_frame)
+
+    m = hamming.match(kf_desc, a_desc, kf_mask, a_mask,
+                      ratio=cfg.matcher.ratio,
+                      max_distance=cfg.matcher.max_hamming,
+                      cross_check=cfg.matcher.cross_check)
+    valid = m.mask & kf_mask
+    uv_a = a_uv[m.idx]
+
+    pnp = ransac_pnp(key, kf_xyz, uv_a, valid, cam, cfg.tracking)
+    ok = (pnp.ok & anchor_ok
+          & (pnp.num_inliers >= cfg.bow.min_loop_inliers))
+    return LoopPairResult(T_anchor_cand=pnp.T, anchor_frame=a_frame,
+                          num_inliers=pnp.num_inliers, ok=ok)

@@ -51,7 +51,7 @@ from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
 from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
-from slam1_tpu.models.loop_closure import verify_loop
+from slam1_tpu.models.loop_closure import verify_loop, verify_loop_pair
 from slam1_tpu.models.tracker import chain_pose, temporal_track
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
@@ -61,6 +61,12 @@ from slam1_tpu.utils import checkpoint as ckpt_mod
 MAX_LOOP_EDGES = 64
 KF_FEATURES = 512
 PGO_BUCKETS = (512, 2048, 8192)
+
+import time as _time
+
+
+def _now() -> float:
+    return _time.perf_counter()
 
 
 class SlamState(NamedTuple):
@@ -91,6 +97,18 @@ class StepOutput(NamedTuple):
     num_inliers: jnp.ndarray
     mean_reproj_err: jnp.ndarray
     pnp_ok: jnp.ndarray
+    frame: int = -1               # frame index (host bookkeeping)
+
+
+def _unpack_row(row) -> StepOutput:
+    """(10,) float32 packed metrics row -> host StepOutput."""
+    r = np.asarray(row)
+    return StepOutput(
+        loop_hit=bool(r[0] > 0.5), loop_candidate=int(r[1]),
+        loop_chi2=float(r[2]), is_kf=bool(r[3] > 0.5), kf_n=int(r[4]),
+        num_stereo=int(r[5]), num_inliers=int(r[6]),
+        mean_reproj_err=float(r[7]), pnp_ok=bool(r[8] > 0.5),
+        frame=int(r[9]))
 
 
 def _init_state(left, right, cam, cfg: SlamConfig, seed: int) -> SlamState:
@@ -203,27 +221,38 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
         last_kf_frame=jnp.where(is_kf, frame, state.last_kf_frame),
         last_kf_pos=jnp.where(is_kf, T_w[:3, 3], state.last_kf_pos),
         prev_lm=new_prev_lm)
-    out = StepOutput(
-        loop_hit=loop_hit, loop_candidate=cand, loop_chi2=chi2,
-        is_kf=is_kf, kf_n=kf.n,
-        num_stereo=jnp.sum(obs.mask), num_inliers=track.pnp.num_inliers,
-        mean_reproj_err=track.pnp.mean_err, pnp_ok=track.pnp.ok)
+    # ONE packed (10,) row instead of 9 separate device scalars: the
+    # host prefetches it with copy_to_host_async and never pays a
+    # per-scalar device->host round trip (~30 ms each via a remote-TPU
+    # tunnel; see SlamSystem._poll).
+    f32 = left.dtype
+    out_row = jnp.stack([
+        loop_hit.astype(f32), cand.astype(f32), chi2.astype(f32),
+        is_kf.astype(f32), kf.n.astype(f32),
+        jnp.sum(obs.mask).astype(f32),
+        track.pnp.num_inliers.astype(f32), track.pnp.mean_err,
+        track.pnp.ok.astype(f32), frame.astype(f32)])
     # current-frame features returned for host-triggered loop verification
-    return new_state, out, feats
+    return new_state, out_row, feats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig):
-    """Windowed local BA over the last `ba.window` keyframes (BASELINE
-    config 2; the live version of ref BundleAdjustment.py:186-225).
+def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
+                  end_kf=None):
+    """Windowed local BA over the `ba.window` keyframes ending at
+    keyframe row `end_kf` (default: the newest; BASELINE config 2 — the
+    live version of ref BundleAdjustment.py:186-225).
 
     Builds a BAProblem from the per-keyframe observation slots, runs
     `ba.local_lm_iters` Schur-LM iterations, and feeds optimized poses
     back into the trajectory / keyframe store and optimized landmarks
-    back into the map. Returns (new_state, ba_cost).
+    back into the map. Returns (new_state, ba_cost). `end_kf` lets the
+    asynchronous backend catch up window-by-window when it consumes
+    keyframe counts in bursts.
     """
     w_kf = cfg.ba.window
-    kfn = state.kf.n
+    kfn = state.kf.n if end_kf is None else \
+        jnp.minimum(jnp.asarray(end_kf, jnp.int32), state.kf.n)
     kf_cap = state.kf.xyz.shape[0]
     start = jnp.clip(kfn - w_kf, 0, kf_cap - w_kf)
     rows = start + jnp.arange(w_kf)                         # (W,)
@@ -375,9 +404,15 @@ class LoopEvent:
 class SlamSystem:
     """Host-side orchestrator (the `slam.run(config)` API, SURVEY C24).
 
-    Host-device discipline: nothing in `process()` forces a per-frame
-    device sync. The loop trigger, keyframe count, and buffered metrics
-    are pulled every `bow.loop_poll_every` frames in one transfer.
+    Host-device discipline: NOTHING in the frame path forces a
+    host<->device round trip. Each slam_step emits one packed (10,)
+    metrics row whose host copy is started immediately
+    (copy_to_host_async); a poll only CONSUMES rows older than
+    `bow.poll_lag_s` — by then the copy has landed and device_get is
+    free. The backend (loop detection, local BA, PGO) therefore runs as
+    an asynchronous consumer lagging the camera loop by ~one round-trip
+    latency, never stalling it — the TPU answer to the reference's
+    separate backend process (BundleAdjustment.py:186-225).
     """
 
     def __init__(self, cam: StereoCamera, cfg: Optional[SlamConfig] = None,
@@ -397,8 +432,31 @@ class SlamSystem:
         self._bow_trained = False
         self._loop_streak = 0            # consecutive polls w/ same cand
         self._loop_streak_cand = None
-        self._pending: list = []         # device StepOutputs not yet pulled
+        self._pending: list = []         # (dispatch_time, row) not consumed
+        self._verifying: list = []       # (t, hit_frame, cand, chi2, LoopPairResult)
         self._last_feats = None
+        # Background fetcher: a device->host read through a remote-TPU
+        # tunnel costs a full round trip (~30 ms) and can stall behind
+        # queued dispatches, so the camera-loop thread NEVER calls
+        # device_get. A single worker thread runs one BATCHED get at a
+        # time; a new batch is submitted only when the previous one
+        # finished, so the batch size adapts itself to the round-trip
+        # latency (high-RTT tunnel -> bigger batches, local chip ->
+        # per-poll batches). Disabled (synchronous, deterministic) when
+        # bow.poll_lag_s == 0 — the tests' configuration.
+        self._async = getattr(self.cfg.bow, "poll_lag_s", 0.0) > 0.0
+        self._pool = None
+        self._inflight = None            # Future -> list of rows
+        self._verify_inflight = None     # Future for one verification get
+        if self._async:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="slam-fetch")
+
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     # ------------------------------------------------------------- core
     def process(self, left, right):
@@ -408,11 +466,13 @@ class SlamSystem:
             self.frame_count = 0
             return None
 
-        self.state, out, feats = slam_step(self.state, left, right,
-                                           self.cam, cfg)
+        self.state, out_row, feats = slam_step(self.state, left, right,
+                                               self.cam, cfg)
         self.frame_count += 1
         frame = self.frame_count
-        self._pending.append(out)
+        if hasattr(out_row, "copy_to_host_async"):
+            out_row.copy_to_host_async()         # fire-and-forget prefetch
+        self._pending.append((_now(), out_row))
         self._last_feats = feats
 
         if frame == self.bow_train_frame:
@@ -420,7 +480,7 @@ class SlamSystem:
             self._bow_trained = True
 
         if frame % cfg.bow.loop_poll_every == 0:
-            self._poll(feats)
+            self._poll()
 
         # Checkpoint AFTER the poll so backend work launched this frame
         # (local BA, PGO) is captured — resume then replays identically.
@@ -428,33 +488,66 @@ class SlamSystem:
         if rt.checkpoint_every and frame % rt.checkpoint_every == 0:
             self.save_checkpoint(os.path.join(
                 rt.checkpoint_dir, f"ckpt_{frame:06d}.npz"))
-        return out
+        return out_row
 
-    def _poll(self, feats):
-        """One host<->device sync point: drain metrics, read the loop
-        trigger + keyframe count, launch backend work if due."""
+    def _drain_rows(self, force):
+        """Fetch consumable metrics rows without blocking the caller
+        (unless force). Returns unpacked StepOutputs, oldest first."""
+        rows = []
+        if not self._async:
+            if self._pending:
+                rows = jax.device_get([r for _, r in self._pending])
+                self._pending = []
+            return rows
+        # 1) harvest the finished (or forced) in-flight batch
+        if self._inflight is not None and (force or self._inflight.done()):
+            rows = self._inflight.result()
+            self._inflight = None
+        # 2) submit the accumulated batch when the fetcher is idle (the
+        #    batch size thereby adapts to the tunnel round-trip time) —
+        #    or when the backstop queue bound is exceeded
+        over = len(self._pending) > self.cfg.bow.poll_max_pending
+        if self._inflight is None and self._pending:
+            batch = [r for _, r in self._pending]
+            self._pending = []
+            self._inflight = self._pool.submit(jax.device_get, batch)
+            if force or over:
+                rows = rows + self._inflight.result()
+                self._inflight = None
+        return rows
+
+    def _poll(self, force=False):
+        """Consume landed metrics rows; launch backend work if due.
+
+        force=True (finalize/checkpoint) drains everything, blocking on
+        reads still in flight.
+        """
         cfg = self.cfg
-        if not self._pending:
+        self._consume_verifications(force)
+        rows = self._drain_rows(force)
+        if not rows:
             return
-        drained = jax.device_get(self._pending)
-        self._pending = []
+        drained = [r if isinstance(r, StepOutput) else _unpack_row(r)
+                   for r in rows]
         self.metrics.extend(drained)
         latest = drained[-1]
-        frame = self.frame_count
         kf_n = int(latest.kf_n)
 
         # Scan ALL drained outputs for a loop hit (a hit on a non-poll
         # frame that fades by the poll frame must not be dropped); the
-        # most recent hit wins — the current frame's features usually
-        # still see the revisited place.
+        # most recent hit wins. Verification runs keyframe-vs-keyframe
+        # (verify_loop_pair) so consumption lag cannot invalidate it.
         hit = None
-        first_frame = frame - len(drained) + 1
+        nf = self.frame_count - len(drained) + 1  # fallback numbering
         for k in range(len(drained) - 1, -1, -1):
             if bool(drained[k].loop_hit):
-                hit = (first_frame + k, int(drained[k].loop_candidate),
+                hf = int(drained[k].frame)
+                if hf < 0:
+                    hf = max(nf + k, 0)
+                hit = (hf, int(drained[k].loop_candidate),
                        float(drained[k].loop_chi2))
                 break
-        if self._bow_trained and frame >= self._rearm_at and hit:
+        if self._bow_trained and hit and hit[0] >= self._rearm_at:
             # Temporal consistency: require the same candidate
             # (+-candidate_tol frames) on `confirm_polls` consecutive
             # polls before spending a geometric verification — a
@@ -470,16 +563,21 @@ class SlamSystem:
             self._loop_streak_cand = cand
             strong = hit[2] <= cfg.bow.chi2_strong
             if strong or self._loop_streak >= cfg.bow.confirm_polls:
-                self._try_close_loop(frame, cand, hit[2], feats)
+                self._try_close_loop(hit[0], cand, hit[2])
         else:
             self._loop_streak = 0
             self._loop_streak_cand = None
 
-        if cfg.ba.local_every and (kf_n - self._kf_at_last_ba
-                                   >= cfg.ba.local_every):
-            self.state, cost = local_ba_step(self.state, self.cam, cfg)
-            self.ba_costs.append(cost)      # device scalar; pulled lazily
-            self._kf_at_last_ba = kf_n
+        # Launch one windowed BA per missed cadence window: bursty row
+        # consumption (the fetcher batches by round-trip time) must not
+        # skip windows, or drift correction degrades with tunnel latency.
+        if cfg.ba.local_every:
+            while kf_n - self._kf_at_last_ba >= cfg.ba.local_every:
+                self._kf_at_last_ba += cfg.ba.local_every
+                self.state, cost = local_ba_step(
+                    self.state, self.cam, cfg,
+                    end_kf=jnp.asarray(self._kf_at_last_ba, jnp.int32))
+                self.ba_costs.append(cost)  # device scalar; pulled lazily
 
     def _train_bow(self):
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), 999)
@@ -494,26 +592,69 @@ class SlamSystem:
                 self.state.bow, s, chunk))
 
     # ----------------------------------------------------- loop closure
-    def _try_close_loop(self, frame: int, cand: int, chi2: float, feats):
+    def _try_close_loop(self, frame: int, cand: int, chi2: float):
+        """Dispatch candidate-vs-hit keyframe verification (device work,
+        no sync); the result is consumed asynchronously at a later poll
+        (_consume_verifications). BoW proposals are cheap and noisy —
+        geometric verification is the precision gate — so attempts must
+        not stall the camera loop either."""
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed ^ 0x5a5a),
                                  frame)
-        res = verify_loop(key, self.state.kf, cand, feats, self.cam,
-                          self.cfg)
-        ok = bool(res.ok)
-        self.loop_events.append(LoopEvent(
-            frame=frame, candidate=cand, chi2=chi2,
-            num_inliers=int(res.num_inliers), accepted=ok))
-        if not ok:
-            return
-        # Loop edge measurement: Z = T_cand_frame = inv(T_cur_kf)
-        Z = np.asarray(se3.inverse(res.T_cur_kf))
-        self.loop_edges.append((cand, frame, Z,
-                                float(self.cfg.ba.pg_loop_weight)))
-        self._rearm_at = frame + self.cfg.bow.rearm_frames
+        res = verify_loop_pair(key, self.state.kf, cand, frame, self.cam,
+                               self.cfg)
+        for leaf in res:
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        self._verifying.append((_now(), frame, cand, chi2, res))
+        # Back off further attempts until this one is consumed: a second
+        # dispatch for the same (still-unconsumed) hit would duplicate
+        # work and, on acceptance, duplicate the edge.
         self._loop_streak = 0
         self._loop_streak_cand = None
+
+    def _apply_verification(self, frame, cand, chi2, fetched):
+        ok_, n_inl, a_frame, T_ac = fetched
+        ok = bool(ok_)
+        self.loop_events.append(LoopEvent(
+            frame=frame, candidate=cand, chi2=chi2,
+            num_inliers=int(n_inl), accepted=ok))
+        if not ok:
+            return
+        if frame < self._rearm_at:
+            return                        # a just-accepted loop covers this
+        # Edge (cand, anchor): Z = T_cand_anchor = inv(T_anchor_cand)
+        Z = np.asarray(np.linalg.inv(np.asarray(T_ac)))
+        self.loop_edges.append((cand, int(a_frame), Z,
+                                float(self.cfg.ba.pg_loop_weight)))
+        self._rearm_at = frame + self.cfg.bow.rearm_frames
         # Immediate trajectory relaxation over the affected span.
         self._run_pgo()
+
+    def _consume_verifications(self, force=False):
+        if not self._async:
+            for _, frame, cand, chi2, res in self._verifying:
+                self._apply_verification(frame, cand, chi2, jax.device_get(
+                    (res.ok, res.num_inliers, res.anchor_frame,
+                     res.T_anchor_cand)))
+            self._verifying = []
+            return
+        while True:
+            vi = self._verify_inflight
+            if vi is not None:
+                fut, frame, cand, chi2 = vi
+                if not (force or fut.done()):
+                    return
+                self._verify_inflight = None
+                self._apply_verification(frame, cand, chi2, fut.result())
+            if not self._verifying:
+                return
+            _, frame, cand, chi2, res = self._verifying.pop(0)
+            fut = self._pool.submit(
+                jax.device_get, (res.ok, res.num_inliers, res.anchor_frame,
+                                 res.T_anchor_cand))
+            self._verify_inflight = (fut, frame, cand, chi2)
+            if not force:
+                return
 
     def _run_pgo(self, iters: Optional[int] = None):
         st = self.state
@@ -542,6 +683,9 @@ class SlamSystem:
 
     # ------------------------------------------------ checkpoint/resume
     def save_checkpoint(self, path: str):
+        # Drain pending rows first: resume replays from the snapshot, so
+        # unconsumed trigger rows would otherwise be lost.
+        self._poll(force=True)
         meta = {
             "frame_count": self.frame_count,
             "rearm_at": self._rearm_at,
@@ -583,8 +727,9 @@ class SlamSystem:
 
     # ------------------------------------------------------------ final
     def finalize(self, run_pgo: bool = True):
-        if self._pending:
-            self._poll(self._last_feats)   # catch a trailing loop hit
+        self._poll(force=True)             # catch a trailing loop hit
+        if self._verifying:                # ... and its verification
+            self._consume_verifications(force=True)
         if run_pgo and self.loop_edges:
             self._run_pgo(iters=self.cfg.ba.pg_iters)
         return self.poses()

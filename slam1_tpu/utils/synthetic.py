@@ -155,7 +155,15 @@ def render_frame(world: SyntheticWorld, frame_idx, height: int, width: int):
     return splat(uv_l, vis), splat(uv_r, vis)
 
 
-def render_sequence(world: SyntheticWorld, height: int, width: int):
-    """(F,H,W) left and right stacks (device arrays)."""
-    f = jax.vmap(lambda i: render_frame(world, i, height, width))
-    return f(jnp.arange(world.poses.shape[0]))
+def render_sequence(world: SyntheticWorld, height: int, width: int,
+                    batch_size: int = 8):
+    """(F,H,W) left and right stacks (device arrays).
+
+    Renders in `batch_size`-frame chunks (lax.map scans over chunks,
+    vmapping within each): a flat vmap over all F frames materializes
+    the (F, P, ps, ps) splat intermediates at once — ~30 GB for a
+    300-frame / 12k-point world, beyond a v5e chip's 16 GB HBM.
+    """
+    f = lambda i: render_frame(world, i, height, width)
+    return jax.lax.map(f, jnp.arange(world.poses.shape[0]),
+                       batch_size=batch_size)

@@ -188,24 +188,24 @@ def test_single_poll_spurious_hit_does_not_fire():
 
     borderline = cfg.bow.chi2_accept * 0.9       # a hit, but not "strong"
     # Poll 1: single borderline hit -> streak 1, no verification.
-    sys_._pending = [fake_out(True, 5, borderline)]
+    sys_._pending = [(0.0, fake_out(True, 5, borderline))]
     sys_._poll(None)
     assert not calls
     # Poll 2: NO hit -> streak resets.
-    sys_._pending = [fake_out(False, -1, 1.0)]
+    sys_._pending = [(0.0, fake_out(False, -1, 1.0))]
     sys_._poll(None)
     # Poll 3: hit again -> streak back to 1, still no verification.
-    sys_._pending = [fake_out(True, 5, borderline)]
+    sys_._pending = [(0.0, fake_out(True, 5, borderline))]
     sys_._poll(None)
     assert not calls
     # Poll 4: same candidate (+-tol) on the consecutive poll -> fires.
-    sys_._pending = [fake_out(True, 6, borderline)]
+    sys_._pending = [(0.0, fake_out(True, 6, borderline))]
     sys_._poll(None)
     assert len(calls) == 1
     # A strong (near-zero chi2) single hit fires immediately after reset.
-    sys_._pending = [fake_out(False, -1, 1.0)]
+    sys_._pending = [(0.0, fake_out(False, -1, 1.0))]
     sys_._poll(None)
-    sys_._pending = [fake_out(True, 9, cfg.bow.chi2_strong * 0.5)]
+    sys_._pending = [(0.0, fake_out(True, 9, cfg.bow.chi2_strong * 0.5))]
     sys_._poll(None)
     assert len(calls) == 2
 
@@ -234,8 +234,10 @@ def test_hit_on_non_poll_frame_not_dropped():
 
     strong = cfg.bow.chi2_strong * 0.5
     # hit on the FIRST of 4 drained frames only (fades by poll frame)
-    sys_._pending = [fake_out(True, 3, strong), fake_out(False, -1, 1.0),
-                     fake_out(False, -1, 1.0), fake_out(False, -1, 1.0)]
+    sys_._pending = [(0.0, fake_out(True, 3, strong)),
+                     (0.0, fake_out(False, -1, 1.0)),
+                     (0.0, fake_out(False, -1, 1.0)),
+                     (0.0, fake_out(False, -1, 1.0))]
     sys_._poll(None)
     assert len(calls) == 1
 
