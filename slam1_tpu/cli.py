@@ -48,7 +48,8 @@ def _cmd_run(args):
         from slam1_tpu.utils.synthetic import make_world, render_sequence
         world = make_world(jax.random.PRNGKey(args.seed),
                            n_frames=args.synthetic,
-                           trajectory=args.trajectory)
+                           trajectory=args.trajectory,
+                           image_hw=(cfg.image.height, cfg.image.width))
         cam = world.cam
         lefts, rights = render_sequence(world, cfg.image.height,
                                         cfg.image.width)
@@ -160,12 +161,44 @@ def _cmd_ba(args):
         bucket = next((b for b in (128, 512, 2048, 8192)
                        if b >= n_kf), n_kf)
         bucket = min(bucket, sys_.state.kf.xyz.shape[0])
-        sys_.state, cost = pipeline.global_ba_step(
-            sys_.state, cam, cfg, n_kf=bucket)
+        if args.distributed:
+            # Landmark-sharded Schur BA over all available devices
+            # (BASELINE config 5's solver driving the LIVE system's
+            # state; parallel/dist_ba.py).
+            import jax
+
+            from slam1_tpu.parallel.dist_ba import (
+                distributed_bundle_adjust, partition_problem_device)
+            from slam1_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(lm_axis=args.lm_shards or None)
+            shards = mesh.shape["lm"]
+            prob, frames = pipeline.build_global_problem(sys_.state, bucket)
+            sharded, orig, n_dropped = partition_problem_device(prob, shards)
+            out_p, cost = distributed_bundle_adjust(sharded, cam, cfg.ba,
+                                                    mesh)
+            dropped = int(n_dropped)
+            if dropped:
+                print(f"warning: {dropped} observations dropped by the "
+                      f"partitioner (raise obs_per_shard)", file=sys.stderr)
+            st = sys_.state
+            traj = jnp.asarray(st.traj).at[frames].set(out_p.poses)
+            pts = jnp.asarray(st.map.xyz).at[
+                jnp.clip(orig.reshape(-1), 0, st.map.xyz.shape[0] - 1)
+            ].set(out_p.points.reshape(-1, 3), mode="drop")
+            kf_poses = jnp.asarray(st.kf.poses).at[
+                jnp.arange(bucket)].set(out_p.poses)
+            sys_.state = st._replace(
+                traj=traj, map=st.map._replace(xyz=pts),
+                kf=st.kf._replace(poses=kf_poses))
+            extra = {"mesh": dict(mesh.shape), "dropped_obs": dropped}
+        else:
+            sys_.state, cost = pipeline.global_ba_step(
+                sys_.state, cam, cfg, n_kf=bucket)
+            extra = {}
         poses = sys_.poses()
         np.save(args.out, poses)
         print(json.dumps({"keyframes": n_kf,
-                          "final_cost": float(cost)}))
+                          "final_cost": float(cost), **extra}))
         return 0
 
     from slam1_tpu.models import posegraph
@@ -241,6 +274,12 @@ def main(argv=None):
     pb.add_argument("--iters", type=int, default=None,
                     help="GN iterations (trajectory mode) / LM iterations "
                          "(--state mode); defaults: 10 / cfg.ba.lm_iters")
+    pb.add_argument("--distributed", action="store_true",
+                    help="landmark-sharded Schur BA over all available "
+                         "devices (--state mode)")
+    pb.add_argument("--lm-shards", type=int, default=0,
+                    help="landmark shards for --distributed (default: "
+                         "auto from device count)")
     pb.set_defaults(fn=_cmd_ba)
 
     pn = sub.add_parser("bench", help="single-chip throughput bench")

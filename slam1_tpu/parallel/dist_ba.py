@@ -65,16 +65,22 @@ def partition_problem_device(problem: BAProblem, n_shards: int,
     Ok = obs_per_shard or max(-(-2 * O // n_shards), 1)
 
     lm = problem.lm_idx
-    shard_of = jnp.clip(lm // Lk, 0, n_shards - 1)
+    # Weight-0 observations (masked slots of fixed-capacity problems,
+    # e.g. build_global_problem's padding) must not occupy shard
+    # capacity: route them past every real shard so they sort to the
+    # tail and fall into the drop row without counting as dropped.
+    is_real = (problem.w > 0) | (problem.wr > 0)
+    shard_of = jnp.where(is_real, jnp.clip(lm // Lk, 0, n_shards - 1),
+                         n_shards)
     # stable sort by shard: rank within shard = position - shard start
     order = jnp.argsort(shard_of, stable=True)                  # (O,)
     sorted_shard = shard_of[order]
     start = jnp.searchsorted(sorted_shard,
                              jnp.arange(n_shards, dtype=shard_of.dtype))
-    rank = jnp.arange(O) - start[sorted_shard]                  # (O,)
-    keep = rank < Ok
+    rank = jnp.arange(O) - start[jnp.minimum(sorted_shard, n_shards - 1)]
+    keep = (rank < Ok) & (sorted_shard < n_shards)
     row = jnp.where(keep, sorted_shard * Ok + rank, n_shards * Ok)
-    n_dropped = jnp.sum(~keep)
+    n_dropped = jnp.sum(~keep & (sorted_shard < n_shards))
 
     def scatter(x, fill=0):
         flat = jnp.full((n_shards * Ok,) + x.shape[1:], fill, x.dtype)
