@@ -182,9 +182,13 @@ def _cmd_ba(args):
                       f"partitioner (raise obs_per_shard)", file=sys.stderr)
             st = sys_.state
             traj = jnp.asarray(st.traj).at[frames].set(out_p.poses)
-            pts = jnp.asarray(st.map.xyz).at[
-                jnp.clip(orig.reshape(-1), 0, st.map.xyz.shape[0] - 1)
-            ].set(out_p.points.reshape(-1, 3), mode="drop")
+            # `orig` is a plain arange over n_shards*Lk rows; partitioner
+            # pad rows carry indices >= map capacity and must be DROPPED
+            # by the scatter, not clipped onto the last real landmark
+            # (clipping overwrote map.xyz[L-1] with a pad row's zeros
+            # whenever L % shards != 0).
+            pts = jnp.asarray(st.map.xyz).at[orig.reshape(-1)].set(
+                out_p.points.reshape(-1, 3), mode="drop")
             kf_poses = jnp.asarray(st.kf.poses).at[
                 jnp.arange(bucket)].set(out_p.poses)
             sys_.state = st._replace(

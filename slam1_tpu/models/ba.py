@@ -20,6 +20,16 @@ on device — the TPU formulation (SURVEY.md §7 step 6):
     parallel/dist_ba.py);
   - outer Levenberg-Marquardt with accept/reject damping and Huber
     IRLS weights, fixed iteration counts throughout.
+
+Intrinsics are deliberately FIXED here: KITTI stereo is calibrated and
+rectified, so f/k1/k2 are known a-priori and letting them float adds a
+near-gauge direction (focal length trades off against depth/baseline
+scale, destabilizing the stereo scale anchor that `wr` provides). For
+BAL-format datasets with unknown per-camera intrinsics, use
+models/bal.py — a 9-dof-camera (rvec, tvec, f, k1, k2) variant of this
+same Schur-LM machinery matching the reference's dormant formulation
+(/root/reference/BundleAdjustment.py:317-331), validated to recover
+perturbed focal length and radial distortion (tests/test_bal.py).
 """
 
 from __future__ import annotations

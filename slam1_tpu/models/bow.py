@@ -164,14 +164,20 @@ def backfill_chunk(state: BowState, start, chunk: int) -> BowState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def query(state: BowState, frame_idx, desc, mask,
-          cfg: BowConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Chi^2 scan against all frames older than `query_exclude`.
+@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+def query_topk(state: BowState, frame_idx, desc, mask, cfg: BowConfig,
+               k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chi^2 scan against all frames older than `query_exclude`,
+    returning the k best candidates.
 
-    Returns (best_frame int32, best_dist float32); best_frame = -1 when
-    nothing eligible (matches ref predict_previous returning (-1,-1),
-    bag_of_words.py:33).
+    The reference only ever considers the argmin (predict_previous,
+    /root/reference/bag_of_words.py:42); the argmin of a noisy histogram
+    distance routinely lands a couple of frames off the best
+    geometrically-verifiable revisit, so the pipeline verifies the top-k
+    candidates instead of betting the (1000x-weighted) loop edge on one.
+
+    Returns (frames (k,) int32 with -1 for "nothing eligible", sorted
+    best-first; dists (k,) float32 with -1 in the empty slots).
     """
     h = histogram(desc, mask, state.vocab)
     diff2 = (state.db - h[None, :]) ** 2
@@ -180,8 +186,17 @@ def query(state: BowState, frame_idx, desc, mask,
     ages_ok = jnp.arange(state.db.shape[0]) <= frame_idx - cfg.query_exclude
     eligible = state.db_mask & ages_ok & state.trained
     chi2 = jnp.where(eligible, chi2, jnp.inf)
-    best = jnp.argmin(chi2)
-    best_val = chi2[best]
-    found = jnp.isfinite(best_val)
-    return (jnp.where(found, best, -1).astype(jnp.int32),
-            jnp.where(found, best_val, -1.0).astype(jnp.float32))
+    neg, idx = jax.lax.top_k(-chi2, k)
+    vals = -neg
+    found = jnp.isfinite(vals)
+    return (jnp.where(found, idx, -1).astype(jnp.int32),
+            jnp.where(found, vals, -1.0).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query(state: BowState, frame_idx, desc, mask,
+          cfg: BowConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-match variant of query_topk (ref predict_previous returning
+    (argmin, min) or (-1,-1), bag_of_words.py:33-42)."""
+    frames, dists = query_topk(state, frame_idx, desc, mask, cfg, k=1)
+    return frames[0], dists[0]

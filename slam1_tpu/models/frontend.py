@@ -62,5 +62,6 @@ def stereo_frontend(left, right, cam: StereoCamera,
         xyz=jnp.where(valid[:, None], xyz, 0.0),
         desc=feats_l.desc,
         mask=valid,
+        score=feats_l.score,
     )
     return feats_l, obs

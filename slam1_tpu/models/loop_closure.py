@@ -25,17 +25,9 @@ import jax.numpy as jnp
 
 from slam1_tpu.config import SlamConfig
 from slam1_tpu.models.mapping import KeyframeStore
-from slam1_tpu.ops import hamming, se3
+from slam1_tpu.ops import hamming
 from slam1_tpu.ops.camera import StereoCamera
 from slam1_tpu.ops.pnp import ransac_pnp
-from slam1_tpu.types import Features
-
-
-class LoopResult(NamedTuple):
-    T_cur_kf: jnp.ndarray     # (4,4) current camera from keyframe camera
-    T_w_corrected: jnp.ndarray  # (4,4) corrected world pose of current
-    num_inliers: jnp.ndarray
-    ok: jnp.ndarray
 
 
 class LoopPairResult(NamedTuple):
@@ -46,48 +38,13 @@ class LoopPairResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def verify_loop(key, store: KeyframeStore, cand_frame, cur_feats: Features,
-                cam: StereoCamera, cfg: SlamConfig) -> LoopResult:
-    """Estimate the relative pose between loop keyframe and the current
-    frame (ref close_loop, loop_closure.py:7-36).
-
-    `cand_frame` is a FRAME index (as returned by the BoW query); the
-    keyframe row is looked up via store.row_of_frame. A frame with no
-    keyframe snapshot yields ok=False (empty mask)."""
-    cand_frame = jnp.asarray(cand_frame).astype(jnp.int32)
-    row = store.row_of_frame[
-        jnp.clip(cand_frame, 0, store.row_of_frame.shape[0] - 1)]
-    kf_idx = jnp.clip(row, 0, store.xyz.shape[0] - 1)
-    kf_xyz = store.xyz[kf_idx]          # (K,3) in keyframe camera frame
-    kf_desc = store.desc[kf_idx]
-    kf_mask = store.mask[kf_idx] & (row >= 0) & (cand_frame >= 0)
-
-    m = hamming.match(kf_desc, cur_feats.desc, kf_mask, cur_feats.mask,
-                      ratio=cfg.matcher.ratio,
-                      max_distance=cfg.matcher.max_hamming,
-                      cross_check=cfg.matcher.cross_check)
-    valid = m.mask & kf_mask
-    uv_cur = cur_feats.xy[m.idx]
-
-    pnp = ransac_pnp(key, kf_xyz, uv_cur, valid, cam, cfg.tracking)
-    # World pose implied by the loop: T_w_cur = T_w_kf @ inv(T_cur_kf)
-    T_w_kf = store.poses[kf_idx]
-    T_corr = T_w_kf @ se3.inverse(pnp.T)
-    # A loop edge is weighted ~1000x in the pose graph; demand far more
-    # support than tracking's min_track_points gate (pnp.ok).
-    ok = pnp.ok & (pnp.num_inliers >= cfg.bow.min_loop_inliers)
-    return LoopResult(T_cur_kf=pnp.T, T_w_corrected=T_corr,
-                      num_inliers=pnp.num_inliers, ok=ok)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def verify_loop_pair(key, store: KeyframeStore, cand_frame, hit_frame,
                      cam: StereoCamera, cfg: SlamConfig) -> LoopPairResult:
     """Keyframe-vs-keyframe loop verification (lag-tolerant).
 
     The asynchronous host poll may learn about a BoW hit tens of frames
     after it fired; by then the live camera no longer sees the revisited
-    place, so verification against CURRENT features (verify_loop) would
+    place, so verification against CURRENT (live-camera) features would
     fail. Both endpoints are instead taken from the keyframe store: the
     candidate keyframe's triangulated 3D points are matched against the
     2D keypoints of the nearest keyframe at-or-before `hit_frame` (the

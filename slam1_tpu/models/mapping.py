@@ -279,15 +279,18 @@ def init_kf_store(max_frames: int, k: int, desc_bytes: int = 32,
 @functools.partial(jax.jit, static_argnames=("k",))
 def kf_insert(store: KeyframeStore, obs: StereoObservations, pose,
               k: int, frame=0, is_kf=True) -> KeyframeStore:
-    """Keep the k best (valid-first) stereo observations of this frame.
+    """Keep the k best stereo observations of this frame, ranked by
+    corner score (valid slots always outrank invalid ones).
 
     `is_kf` (traced bool) gates the insert: non-keyframes leave the
     store untouched (keyframe selection policy lives in the pipeline).
     """
-    # Order: valid first (stable top-k on the mask). If the frame holds
-    # fewer than k observations, pad with masked-out repeats of slot 0.
+    # Mask-gated score: every valid slot scores >= 1 + its FAST corner
+    # response, every invalid slot scores -1 — so the snapshot keeps the
+    # STRONGEST corners (loop verification then matches against the
+    # most repeatable features, not an arbitrary valid subset).
     n = obs.mask.shape[0]
-    scores = obs.mask.astype(jnp.float32)
+    scores = jnp.where(obs.mask, 1.0 + obs.score.astype(jnp.float32), -1.0)
     _, idx = jax.lax.top_k(scores, min(k, n))
     sel_mask = obs.mask[idx]
     if n < k:

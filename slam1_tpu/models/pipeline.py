@@ -51,14 +51,14 @@ from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
 from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
-from slam1_tpu.models.loop_closure import verify_loop, verify_loop_pair
+from slam1_tpu.models.loop_closure import verify_loop_pair
 from slam1_tpu.models.tracker import chain_pose, temporal_track
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
 from slam1_tpu.types import StereoObservations
 from slam1_tpu.utils import checkpoint as ckpt_mod
 
-MAX_LOOP_EDGES = 64
+MAX_LOOP_EDGES = 128
 KF_FEATURES = 512
 PGO_BUCKETS = (512, 2048, 8192)
 
@@ -98,17 +98,21 @@ class StepOutput(NamedTuple):
     mean_reproj_err: jnp.ndarray
     pnp_ok: jnp.ndarray
     frame: int = -1               # frame index (host bookkeeping)
+    alt_cands: tuple = ()         # ((frame, chi2), ...) runner-up BoW
+                                  # candidates, best-first
 
 
 def _unpack_row(row) -> StepOutput:
-    """(10,) float32 packed metrics row -> host StepOutput."""
+    """(14,) float32 packed metrics row -> host StepOutput."""
     r = np.asarray(row)
+    alts = tuple((int(r[k]), float(r[k + 1]))
+                 for k in range(10, len(r) - 1, 2) if r[k] >= 0)
     return StepOutput(
         loop_hit=bool(r[0] > 0.5), loop_candidate=int(r[1]),
         loop_chi2=float(r[2]), is_kf=bool(r[3] > 0.5), kf_n=int(r[4]),
         num_stereo=int(r[5]), num_inliers=int(r[6]),
         mean_reproj_err=float(r[7]), pnp_ok=bool(r[8] > 0.5),
-        frame=int(r[9]))
+        frame=int(r[9]), alt_cands=alts)
 
 
 def _init_state(left, right, cam, cfg: SlamConfig, seed: int) -> SlamState:
@@ -206,7 +210,9 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
                             cfg.bow.sample_desc_per_frame)
     bw = bow_mod.add_frame(bw, k_bow2, frame, feats.desc, feats.mask,
                            is_kf=is_kf)
-    cand, chi2 = bow_mod.query(bw, frame, feats.desc, feats.mask, cfg.bow)
+    cands, chi2s = bow_mod.query_topk(bw, frame, feats.desc, feats.mask,
+                                      cfg.bow, k=3)
+    cand, chi2 = cands[0], chi2s[0]
     # NOTE: no `chi2 > 0` guard (ref main.py:100 has one for its raw-count
     # self-match degeneracy): an exact re-visit legitimately scores 0.
     loop_hit = (cand >= 0) & (chi2 < cfg.bow.chi2_accept)
@@ -231,7 +237,12 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
         is_kf.astype(f32), kf.n.astype(f32),
         jnp.sum(obs.mask).astype(f32),
         track.pnp.num_inliers.astype(f32), track.pnp.mean_err,
-        track.pnp.ok.astype(f32), frame.astype(f32)])
+        track.pnp.ok.astype(f32), frame.astype(f32),
+        # runner-up loop candidates: the host verifies the top-k, not
+        # just the argmin (BoW noise lands the argmin a few frames off
+        # the best geometrically-verifiable revisit on real imagery)
+        cands[1].astype(f32), chi2s[1].astype(f32),
+        cands[2].astype(f32), chi2s[2].astype(f32)])
     # current-frame features returned for host-triggered loop verification
     return new_state, out_row, feats
 
@@ -499,21 +510,34 @@ class SlamSystem:
                 rows = jax.device_get([r for _, r in self._pending])
                 self._pending = []
             return rows
-        # 1) harvest the finished (or forced) in-flight batch
-        if self._inflight is not None and (force or self._inflight.done()):
+        # The poll_max_pending backstop applies to the HARVEST too: while
+        # a batched get is in flight the queue would otherwise grow
+        # unbounded (the bound was only enforced at submission time).
+        over = len(self._pending) > self.cfg.bow.poll_max_pending
+        # 1) harvest the finished (or forced/over-bound) in-flight batch
+        if self._inflight is not None and (force or over
+                                           or self._inflight.done()):
             rows = self._inflight.result()
             self._inflight = None
-        # 2) submit the accumulated batch when the fetcher is idle (the
-        #    batch size thereby adapts to the tunnel round-trip time) —
-        #    or when the backstop queue bound is exceeded
-        over = len(self._pending) > self.cfg.bow.poll_max_pending
+        # 2) submit the rows whose async host copy has had poll_lag_s
+        #    seconds to land (the age gate — younger rows wait for the
+        #    next poll, so device_get never blocks on an unfinished
+        #    copy); force / the queue-depth backstop submit everything.
+        #    Batch size still adapts to the tunnel round-trip time: a new
+        #    batch is only submitted when the fetcher is idle.
         if self._inflight is None and self._pending:
-            batch = [r for _, r in self._pending]
-            self._pending = []
-            self._inflight = self._pool.submit(jax.device_get, batch)
-            if force or over:
-                rows = rows + self._inflight.result()
-                self._inflight = None
+            lag = self.cfg.bow.poll_lag_s
+            now = _now()
+            cut = len(self._pending) if (force or over) else next(
+                (k for k, (t, _) in enumerate(self._pending)
+                 if now - t < lag), len(self._pending))
+            if cut:
+                batch = [r for _, r in self._pending[:cut]]
+                del self._pending[:cut]
+                self._inflight = self._pool.submit(jax.device_get, batch)
+                if force or over:
+                    rows = rows + self._inflight.result()
+                    self._inflight = None
         return rows
 
     def _poll(self, force=False):
@@ -545,7 +569,8 @@ class SlamSystem:
                 if hf < 0:
                     hf = max(nf + k, 0)
                 hit = (hf, int(drained[k].loop_candidate),
-                       float(drained[k].loop_chi2))
+                       float(drained[k].loop_chi2),
+                       drained[k].alt_cands)
                 break
         if self._bow_trained and hit and hit[0] >= self._rearm_at:
             # Temporal consistency: require the same candidate
@@ -563,7 +588,7 @@ class SlamSystem:
             self._loop_streak_cand = cand
             strong = hit[2] <= cfg.bow.chi2_strong
             if strong or self._loop_streak >= cfg.bow.confirm_polls:
-                self._try_close_loop(hit[0], cand, hit[2])
+                self._try_close_loop(hit[0], cand, hit[2], alts=hit[3])
         else:
             self._loop_streak = 0
             self._loop_streak_cand = None
@@ -592,21 +617,42 @@ class SlamSystem:
                 self.state.bow, s, chunk))
 
     # ----------------------------------------------------- loop closure
-    def _try_close_loop(self, frame: int, cand: int, chi2: float):
+    # Runner-up candidates are only worth a geometric check while their
+    # histogram distance is in the same league as the accept gate.
+    ALT_CHI2_SLACK = 1.5
+
+    def _try_close_loop(self, frame: int, cand: int, chi2: float,
+                        alts=()):
         """Dispatch candidate-vs-hit keyframe verification (device work,
         no sync); the result is consumed asynchronously at a later poll
         (_consume_verifications). BoW proposals are cheap and noisy —
         geometric verification is the precision gate — so attempts must
-        not stall the camera loop either."""
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed ^ 0x5a5a),
-                                 frame)
-        res = verify_loop_pair(key, self.state.kf, cand, frame, self.cam,
-                               self.cfg)
-        for leaf in res:
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
-        self._verifying.append((_now(), frame, cand, chi2, res))
-        # Back off further attempts until this one is consumed: a second
+        not stall the camera loop either.
+
+        `alts` holds runner-up BoW candidates; each distinct one (beyond
+        candidate_tol of those already dispatched) with a plausible chi^2
+        gets its own verification — the argmin of a noisy histogram scan
+        is routinely a few frames off the best verifiable revisit, and a
+        rejected argmin must not cost the whole closure. Acceptance
+        stays exclusive: the first verified edge re-arms the window and
+        _apply_verification drops the rest."""
+        tol = self.cfg.bow.candidate_tol
+        gate = self.cfg.bow.chi2_accept * self.ALT_CHI2_SLACK
+        todo = [(cand, chi2)]
+        for ac, av in alts:
+            if ac >= 0 and av <= gate and all(
+                    abs(ac - c) > tol for c, _ in todo):
+                todo.append((ac, av))
+        for c, v in todo:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed ^ 0x5a5a), frame * 7919 + c)
+            res = verify_loop_pair(key, self.state.kf, c, frame, self.cam,
+                                   self.cfg)
+            for leaf in res:
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            self._verifying.append((_now(), frame, c, v, res))
+        # Back off further attempts until these are consumed: a second
         # dispatch for the same (still-unconsumed) hit would duplicate
         # work and, on acceptance, duplicate the edge.
         self._loop_streak = 0
@@ -667,7 +713,17 @@ class SlamSystem:
         le_j = np.zeros(MAX_LOOP_EDGES, np.int32)
         le_z = np.tile(np.eye(4, dtype=np.float32), (MAX_LOOP_EDGES, 1, 1))
         le_w = np.zeros(MAX_LOOP_EDGES, np.float32)
-        for k, (i, j, Z, w) in enumerate(self.loop_edges[:MAX_LOOP_EDGES]):
+        edges = self.loop_edges
+        if len(edges) > MAX_LOOP_EDGES:
+            # Keep the most RECENT edges (older corrections are partly
+            # baked into traj by previous relaxations) and say so —
+            # never drop constraints silently.
+            import warnings
+            warnings.warn(
+                f"pose graph holds {len(edges)} loop edges; only the "
+                f"newest {MAX_LOOP_EDGES} are used (MAX_LOOP_EDGES)")
+            edges = edges[-MAX_LOOP_EDGES:]
+        for k, (i, j, Z, w) in enumerate(edges):
             le_i[k], le_j[k], le_z[k], le_w[k] = i, j, Z, w
 
         traj, t_w, kf_poses, kf_mask, cost = _pgo_step(
@@ -684,8 +740,14 @@ class SlamSystem:
     # ------------------------------------------------ checkpoint/resume
     def save_checkpoint(self, path: str):
         # Drain pending rows first: resume replays from the snapshot, so
-        # unconsumed trigger rows would otherwise be lost.
+        # unconsumed trigger rows would otherwise be lost. A hit among
+        # the drained rows dispatches a NEW verification into
+        # _verifying, so consume verifications AGAIN after the poll —
+        # otherwise that loop edge exists in the live run but not in the
+        # snapshot (the trigger rows were already consumed), breaking
+        # resume equivalence.
         self._poll(force=True)
+        self._consume_verifications(force=True)
         meta = {
             "frame_count": self.frame_count,
             "rearm_at": self._rearm_at,

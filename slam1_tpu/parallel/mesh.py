@@ -31,8 +31,17 @@ def init_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Only idempotency is forgiven; a real bring-up failure (e.g.
+        # backends already initialized by a sitecustomize, coordinator
+        # unreachable) must surface, not leave a silent 1-process run.
+        if "already" not in str(e).lower():
+            raise
+    if num_processes and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"multi-host init ineffective: process_count()="
+            f"{jax.process_count()} != {num_processes} (were JAX "
+            f"backends initialized before initialize()?)")
 
 
 def make_mesh(n_devices: Optional[int] = None, lm_axis: Optional[int] = None

@@ -40,3 +40,7 @@ class StereoObservations(NamedTuple):
     xyz: jnp.ndarray     # (N,3) left-camera frame
     desc: jnp.ndarray    # (N,32) uint8 (left descriptors)
     mask: jnp.ndarray    # (N,)
+    score: jnp.ndarray   # (N,) FAST corner score of the left keypoint —
+                         # keyframe snapshots keep the top-K by THIS, so
+                         # loop verification matches against the
+                         # strongest corners, not an arbitrary subset

@@ -35,7 +35,10 @@ def make_trajectory(n_frames: int, kind: str = "arc",
                     speed: float = 1.0, dtype=jnp.float32) -> jnp.ndarray:
     """(F,4,4) world-from-camera poses. Camera looks along +z.
 
-    kinds: 'straight' | 'arc' (gentle yaw) | 'loop' (returns near start).
+    kinds: 'straight' | 'arc' (gentle yaw) | 'loop' (returns near start)
+    | 'loop2' (TWO laps of the same circle — the second lap continuously
+    revisits the first, giving multiple independent loop-closure
+    windows on one clip).
     """
     if kind == "straight":
         yaw_rate = 0.0
@@ -43,6 +46,8 @@ def make_trajectory(n_frames: int, kind: str = "arc",
         yaw_rate = 0.002
     elif kind == "loop":
         yaw_rate = 2.0 * np.pi / max(n_frames - 1, 1)
+    elif kind == "loop2":
+        yaw_rate = 4.0 * np.pi / max(n_frames - 1, 1)
     else:
         raise ValueError(f"unknown trajectory kind: {kind}")
     xi = jnp.tile(

@@ -180,6 +180,7 @@ def test_kf_store_roundtrip():
         xyz=jnp.ones((n, 3)),
         desc=jnp.full((n, 32), 3, jnp.uint8),
         mask=jnp.asarray([True] * 5 + [False] * (n - 5)),
+        score=jnp.arange(n, dtype=jnp.float32),
     )
     pose = jnp.eye(4).at[0, 3].set(2.0)
     store = mapping.kf_insert(store, obs, pose, k=8, frame=3)
