@@ -33,7 +33,11 @@ sys.path.insert(0, _REPO)
 
 N_FRAMES = 24          # VO clip length (cycled VO_STEPS times)
 VO_STEPS = 120
-SLAM_FRAMES = 300      # full-pipeline loop clip
+SLAM_FRAMES = 600      # full-pipeline clip: TWO laps of a loop — the
+                       # second lap continuously revisits the first, so
+                       # several independent loop-closure windows exist
+                       # (recall is measurable, not capped at 1 by the
+                       # 100-frame re-arm on a single-lap clip)
 
 
 def measure_vo(lefts, rights, cam, cfg):
@@ -67,7 +71,7 @@ def measure_slam(cfg, n_frames=SLAM_FRAMES):
     from slam1_tpu.utils.synthetic import make_world, render_sequence
 
     world = make_world(jax.random.PRNGKey(11), n_frames=n_frames,
-                       n_points=40 * n_frames, trajectory="loop",
+                       n_points=20 * n_frames, trajectory="loop2",
                        speed=1.0)
     lefts, rights = render_sequence(world, cfg.image.height,
                                     cfg.image.width)
@@ -92,11 +96,213 @@ def measure_slam(cfg, n_frames=SLAM_FRAMES):
     return fps, ate, len(sys_.loop_edges), lefts, rights, world
 
 
-def _reference_pipeline(cam, with_mapping: bool):
-    """Per-frame step shaped like the reference's hot loop
-    (/root/reference/main.py:76-132). with_mapping adds the KDTree map
-    merge (keypoint.py:102-122) + BoW chi^2 scan (bag_of_words.py:29-42)
-    the full-pipeline comparison must include."""
+def measure_reference_slam(lefts_np, rights_np, world, n_frames):
+    """The reference pipeline itself (OpenCV/sklearn re-implementation of
+    /root/reference/main.py:32-146) run END TO END on the same loop clip:
+    tiled ORB, FLANN-style LR ratio match + LMedS mask (keypoint.py:35-66),
+    triangulation, temporal 2D-3D association (Point3D.py:33-53),
+    PnP-RANSAC pose CHAINING (transformation.py:5-37, main.py:120-122),
+    KD-tree global-map merge (keypoint.py:102-122), full-sequence-trained
+    KMeans BoW + raw-count chi^2 scan (bag_of_words.py:10-53), loop
+    closure via re-localization + LINEAR translation error distribution
+    (loop_closure.py:7-52, main.py:99-118).
+
+    Returns (fps, ate_rmse_m, n_loops) — the reference's own trajectory
+    accuracy and speed on this clip, so "ATE parity at >=10x" is a
+    measured fact, not a claim. Returns None if cv2/sklearn missing.
+    """
+    try:
+        import cv2
+        from sklearn.cluster import KMeans
+        from sklearn.neighbors import KDTree
+    except ImportError:
+        return None
+    from slam1_tpu.utils.evalmetrics import ate_rmse
+
+    cam = world.cam
+    K = np.asarray(cam.K, np.float64)
+    P_l, P_r = (np.asarray(p, np.float64) for p in cam.projection_matrices())
+    u8_l = [(np.asarray(l) * 255).astype(np.uint8) for l in lefts_np]
+    u8_r = [(np.asarray(r) * 255).astype(np.uint8) for r in rights_np]
+    n = min(n_frames, len(u8_l))
+
+    # ref orb.py:4-25 exactly: 5x10 grid, tiles 1.5x the grid pitch
+    # (50% overlap), stepped by the pitch; ORB(scaleFactor=1.2) with
+    # 200 kp per tile (main.py:75 passes max_number_of_kp=200)
+    orb = cv2.ORB_create(nfeatures=200, scaleFactor=1.2)
+
+    def detect_tiled(img):
+        h, w = img.shape
+        th, tw = h // 5, w // 10
+        kps, descs = [], []
+        for y in range(0, h - th, th):
+            for x in range(0, w - tw, tw):
+                tile = img[y:y + th + th // 2, x:x + tw + tw // 2]
+                kp = orb.detect(tile, None)
+                kp, des = orb.compute(tile, kp)
+                if des is None:
+                    continue
+                for k in kp:
+                    k.pt = (k.pt[0] + x, k.pt[1] + y)
+                kps += list(kp)
+                descs.append(des)
+        if not descs:
+            return [], None
+        return kps, np.concatenate(descs)
+
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+
+    def ratio_match(da, db, ratio=0.7):
+        # ref keypoint.py:44-51 / Point3D.py:44-49 (0.7 Lowe ratio)
+        out = []
+        for p in bf.knnMatch(da, db, k=2):
+            if len(p) == 2 and p[0].distance < ratio * p[1].distance:
+                out.append(p[0])
+        return out
+
+    def stereo_3d(kl, dl, kr, dr):
+        """LR match + LMedS mask + triangulation -> (X, desc, uv_l)."""
+        good = ratio_match(dl, dr)
+        if len(good) < 9:
+            return None
+        uvl = np.float64([kl[m.queryIdx].pt for m in good])
+        uvr = np.float64([kr[m.trainIdx].pt for m in good])
+        des = np.concatenate([dl[m.queryIdx:m.queryIdx + 1] for m in good])
+        _, mask = cv2.findFundamentalMat(uvl, uvr, cv2.FM_LMEDS)
+        if mask is not None:                  # ref keypoint.py:59-66
+            mb = mask.ravel().astype(bool)
+            if mb.sum() >= 6:
+                uvl, uvr, des = uvl[mb], uvr[mb], des[mb]
+        X = cv2.triangulatePoints(P_l, P_r, uvl.T, uvr.T)
+        return (X[:3] / X[3]).T, des, uvl
+
+    def pnp_T(X3, uv2):
+        # ref transformation.py:5-19: negate rvec/tvec -> 4x4 increment
+        okf, rvec, tvec, _ = cv2.solvePnPRansac(
+            np.ascontiguousarray(X3), np.ascontiguousarray(uv2), K,
+            np.zeros(5))
+        if not okf:
+            return None
+        R, _ = cv2.Rodrigues(-rvec)
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = -tvec.ravel()
+        return T
+
+    def temporal(X, des, kn, dn):
+        # ref Point3D.py:33-53: match + |coord| < 500 gate
+        good2 = [m for m in ratio_match(des, dn)
+                 if np.all(np.abs(X[m.queryIdx]) < 500.0)]
+        if len(good2) <= 4:                   # ref main.py:94 guard
+            return None
+        X3 = np.float64([X[m.queryIdx] for m in good2])
+        uv2 = np.float64([kn[m.trainIdx].pt for m in good2])
+        return X3, uv2
+
+    # --- BoW trained on the FULL sequence up front (ref main.py:43-44,
+    # bag_of_words.py:16-27): ORB(100) per image, KMeans(50) vocabulary,
+    # raw-count histograms.
+    orb_full = cv2.ORB_create(nfeatures=100)
+    dlist = []
+    for img in u8_l[:n]:
+        _, d = orb_full.detectAndCompute(img, None)
+        dlist.append(d if d is not None else np.zeros((1, 32), np.uint8))
+    km = KMeans(50, n_init=4, random_state=0).fit(np.concatenate(dlist))
+    db = []
+    for d in dlist:
+        lab = km.predict(d)
+        db.append(np.histogram(lab, bins=50, range=(0, 49))[0]
+                  .astype(np.float64))
+
+    def chi2(x, y):                           # ref bag_of_words.py:30-31
+        return np.sum(2 * (x - y) ** 2 / np.maximum(1, x + y))
+
+    poses = [np.eye(4)]
+    T_prev = np.eye(4)
+    bow_threshold = 100                       # ref main.py:40
+    n_loops = 0
+    map_pts = None
+    kl, dl = detect_tiled(u8_l[0])
+
+    t0 = time.perf_counter()
+    for i in range(n - 1):
+        kr, dr = detect_tiled(u8_r[i])
+        kn, dn = detect_tiled(u8_l[i + 1])
+        T = None
+        tri = None
+        if dl is not None and dr is not None and dn is not None:
+            tri = stereo_3d(kl, dl, kr, dr)
+        if tri is not None:
+            tm = temporal(tri[0], tri[1], kn, dn)
+            if tm is not None:
+                T = pnp_T(*tm)
+        if T is None:
+            T = T_prev                        # ref main.py:94-98: reuse
+        T_prev = T
+
+        # BoW scan vs all frames older than the threshold
+        # (ref bag_of_words.py:29-42, main.py:99-100: 0 < val < 45)
+        loop_done = False
+        if i >= bow_threshold:
+            h = db[i]
+            dist = [chi2(h, db[j]) for j in range(i + 1 - bow_threshold)]
+            idx, val = int(np.argmin(dist)), float(np.min(dist))
+            if 0 < val < 45:
+                bow_threshold = i + 100       # ref main.py:106 re-arm
+                # close_loop: relocalize frame i against candidate idx
+                # (ref loop_closure.py:7-36)
+                kc, dc = detect_tiled(u8_l[idx])
+                kcr, dcr = detect_tiled(u8_r[idx])
+                T_loop = None
+                if dc is not None and dcr is not None:
+                    tri_c = stereo_3d(kc, dc, kcr, dcr)
+                    if tri_c is not None:
+                        # current frame i's tiled features = kl/dl
+                        tm_c = temporal(tri_c[0], tri_c[1], kl, dl)
+                        if tm_c is not None:
+                            T_loop = pnp_T(*tm_c)
+                if T_loop is not None:
+                    n_loops += 1
+                    corrected = poses[idx] @ T_loop
+                    wrong = poses[-1] @ T
+                    err = (corrected - wrong) / (i + 1 - idx)
+                    # translation-only linear smear over frames idx..i
+                    # (ref loop_closure.py:48-52, main.py:113-118)
+                    for k2 in range(idx, i + 1):
+                        poses[k2][:3, 3] += (k2 - idx) * err[:3, 3]
+                    poses.append(corrected)
+                    loop_done = True
+        if not loop_done:
+            poses.append(poses[-1] @ T)       # ref main.py:120-122
+
+        # KD-tree global-map merge, rebuilt per frame
+        # (ref keypoint.py:102-122, main.py:124-127)
+        if tri is not None:
+            Xw = (poses[-1] @ np.concatenate(
+                [tri[0], np.ones((len(tri[0]), 1))], 1).T)[:3].T
+            if map_pts is None:
+                map_pts = Xw
+            else:
+                tree = KDTree(map_pts)
+                dist_m, _ = tree.query(Xw, k=1)
+                thr = np.maximum(0.5, 0.01 * np.abs(Xw[:, 2]))
+                new = Xw[dist_m[:, 0] > thr]
+                if len(new):
+                    map_pts = np.vstack([map_pts, new])
+        kl, dl = kn, dn
+    fps = (n - 1) / (time.perf_counter() - t0)
+
+    gt = np.asarray(world.poses)[:len(poses)]
+    ate = float(ate_rmse(np.asarray(poses), gt, align=False))
+    return fps, ate, n_loops
+
+
+def _reference_vo_step(cam):
+    """Per-frame step shaped like the reference's VO hot path (detect /
+    match / triangulate / temporal-match / PnP, /root/reference/
+    main.py:76-95) — the timed baseline for the VO-only comparison.
+    (The FULL reference pipeline incl. mapping/BoW/loop closure is
+    measure_reference_slam above.)"""
     import cv2
     K = np.asarray(cam.K, np.float64)
     P_l, P_r = (np.asarray(p, np.float64) for p in cam.projection_matrices())
@@ -122,9 +328,6 @@ def _reference_pipeline(cam, with_mapping: bool):
         return kps, np.concatenate(descs)
 
     bf = cv2.BFMatcher(cv2.NORM_HAMMING)
-    state = {"map": None, "hists": [], "orb_full": cv2.ORB_create(100)}
-    if with_mapping:
-        from sklearn.neighbors import KDTree  # noqa: F401
 
     def step(li, ri, l_next, frame_idx):
         kl, dl = detect_tiled(li)
@@ -153,43 +356,17 @@ def _reference_pipeline(cam, with_mapping: bool):
         X3 = np.float64([X[m.queryIdx] for m in good2])
         uv2 = np.float64([kn[m.trainIdx].pt for m in good2])
         cv2.solvePnPRansac(X3, uv2, K, None, reprojectionError=3.0)
-        if not with_mapping:
-            return
-        # --- global map merge: KDTree over the WHOLE map, rebuilt per
-        # frame (ref keypoint.py:110-111, main.py:124-127).
-        from sklearn.neighbors import KDTree
-        if state["map"] is None:
-            state["map"] = X
-        else:
-            tree = KDTree(state["map"])
-            dist, idx = tree.query(X, k=1)
-            thresh = np.maximum(0.5, 0.01 * np.abs(X[:, 2]))
-            new = X[dist[:, 0] > thresh]
-            if len(new):
-                state["map"] = np.vstack([state["map"], new])
-        # --- BoW: ORB on the full image + chi^2 against ALL past frames
-        # (ref bag_of_words.py:29-42, O(i) per frame).
-        _, dfull = state["orb_full"].detectAndCompute(li, None)
-        if dfull is not None:
-            h_ = np.histogram(dfull[:, 0], bins=50, range=(0, 255))[0] \
-                .astype(np.float64)
-            for h2 in state["hists"]:
-                d = h_ - h2
-                s = h_ + h2 + 1e-9
-                (d * d / s).sum()
-            state["hists"].append(h_)
 
     return step
 
 
 def measure_reference(lefts_np, rights_np, cam, with_mapping, n):
+    del with_mapping                          # kept for cache-key compat
     try:
         import cv2  # noqa: F401
-        if with_mapping:
-            import sklearn  # noqa: F401
     except ImportError:
         return None
-    step = _reference_pipeline(cam, with_mapping)
+    step = _reference_vo_step(cam)
     u8_l = [(np.asarray(l) * 255).astype(np.uint8) for l in lefts_np]
     u8_r = [(np.asarray(r) * 255).astype(np.uint8) for r in rights_np]
     step(u8_l[0], u8_r[0], u8_l[1], 0)       # warm-up
@@ -231,22 +408,27 @@ def main():
         except Exception:
             cache = {}
     ref_vo = cache.get("reference_fps")
-    ref_slam = cache.get("reference_slam_fps")
     if ref_vo is None:
         ref_vo = measure_reference(np.asarray(lefts[:10]),
                                    np.asarray(rights[:10]), world.cam,
                                    with_mapping=False, n=8)
-    if ref_slam is None and s_lefts is not None:
-        # Time the reference WITH its per-frame map/BoW cost grown to a
-        # realistic map size: run 60 frames of the loop clip (the KDTree
-        # rebuild cost grows with map size; 60 frames ~ a few thousand
-        # map points, matching its KITTI-scale steady state).
-        ref_slam = measure_reference(
-            np.asarray(s_lefts[:61]), np.asarray(s_rights[:61]),
-            s_world.cam, with_mapping=True, n=60)
-    if ref_vo or ref_slam:
+    # The reference pipeline run END TO END on the SAME 300-frame loop
+    # clip — its fps AND its trajectory ATE (pose chaining + loop
+    # closure + map merge; see measure_reference_slam). The "ATE parity
+    # at >=10x" headline is then measured on both sides. Deterministic
+    # given the clip, so cached (~60 s of CPU once).
+    clip_key = f"loop2-{SLAM_FRAMES}"        # invalidate on clip change
+    ref = cache.get("reference_slam_v2")
+    if (ref is None or cache.get("clip") != clip_key) \
+            and s_lefts is not None:
+        ref = measure_reference_slam(np.asarray(s_lefts),
+                                     np.asarray(s_rights), s_world,
+                                     SLAM_FRAMES)
+    ref_slam, ref_ate, ref_loops = ref if ref else (None, None, None)
+    if ref_vo or ref:
         json.dump({"reference_fps": ref_vo,
-                   "reference_slam_fps": ref_slam,
+                   "reference_slam_v2": ref,
+                   "clip": clip_key,
                    "host": "cpu-reference-equivalent"},
                   open(cache_path, "w"))
 
@@ -258,7 +440,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs_slam, 3) if vs_slam else None,
         "ate_rmse_m": round(ate, 4) if ate is not None else None,
+        "ref_ate_rmse_m": round(ref_ate, 4) if ref_ate is not None
+        else None,
         "loop_closures": n_loops,
+        "ref_loop_closures": ref_loops,
         "vo_frames_per_s_per_chip": round(vo_fps, 3),
         "vo_vs_baseline": round(vs_vo, 3) if vs_vo else None,
     }))
