@@ -169,17 +169,24 @@ class BowConfig:
     # Loop trigger threshold. The reference compares chi^2 of RAW-COUNT
     # histograms against 45 (main.py:100); our histograms are
     # L1-normalized, bounding chi^2 to [0,2], so the equivalent gate is
-    # a fraction of that range (calibrated on the synthetic loop /
-    # straight trajectories in tests/test_pipeline.py; geometric
-    # RANSAC verification provides the precision backstop).
-    chi2_accept: float = 0.15
+    # a fraction of that range. Deliberately LOOSE (genuine revisits
+    # from a slightly different viewpoint score ~0.17-0.22 on the test
+    # clips, barely under the ~0.2-0.26 noise floor): recall comes from
+    # the trigger, precision from progression-consistent confirmation +
+    # geometric RANSAC verification (min_loop_inliers).
+    chi2_accept: float = 0.22
     rearm_frames: int = 100         # re-arm delay after a closure (main.py:106)
     # Geometric-verification precision gates. A loop edge is weighted
     # ~1000x in the pose graph (BAConfig.pg_loop_weight), so acceptance
     # must be much stricter than frame-to-frame tracking's
-    # min_track_points=8: require >= min_loop_inliers PnP inliers AND
-    # the same BoW candidate (+-candidate_tol frames) on
-    # `confirm_polls` consecutive polls before verification fires.
+    # min_track_points=8: require >= min_loop_inliers PnP inliers AND a
+    # PROGRESSION-CONSISTENT candidate across `confirm_polls`
+    # consecutive polls before verification fires. Progression
+    # consistency: on a genuine revisit the BoW candidate ADVANCES with
+    # the camera (~poll-gap frames between polls, either direction), so
+    # consecutive polls must show some candidate pair whose index
+    # difference matches the elapsed frames within +-candidate_tol —
+    # NOT the same index (that would reject every moving revisit).
     min_loop_inliers: int = 20
     confirm_polls: int = 2
     candidate_tol: int = 2

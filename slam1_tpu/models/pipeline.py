@@ -441,8 +441,9 @@ class SlamSystem:
         self._rearm_at = 0
         self._kf_at_last_ba = 1
         self._bow_trained = False
-        self._loop_streak = 0            # consecutive polls w/ same cand
-        self._loop_streak_cand = None
+        self._loop_streak = 0            # consecutive consistent hit polls
+        self._prev_hit = None            # (hit_frame, [candidates]) of the
+                                         # previous hit poll
         self._pending: list = []         # (dispatch_time, row) not consumed
         self._verifying: list = []       # (t, hit_frame, cand, chi2, LoopPairResult)
         self._last_feats = None
@@ -573,25 +574,37 @@ class SlamSystem:
                        drained[k].alt_cands)
                 break
         if self._bow_trained and hit and hit[0] >= self._rearm_at:
-            # Temporal consistency: require the same candidate
-            # (+-candidate_tol frames) on `confirm_polls` consecutive
-            # polls before spending a geometric verification — a
-            # single-poll spurious BoW hit must not fire a 1000x-weight
-            # loop edge.
-            cand = hit[1]
-            if (self._loop_streak_cand is not None
-                    and abs(cand - self._loop_streak_cand)
-                    <= cfg.bow.candidate_tol):
-                self._loop_streak += 1
-            else:
-                self._loop_streak = 1
-            self._loop_streak_cand = cand
-            strong = hit[2] <= cfg.bow.chi2_strong
-            if strong or self._loop_streak >= cfg.bow.confirm_polls:
-                self._try_close_loop(hit[0], cand, hit[2], alts=hit[3])
+            # Progression-consistent confirmation: a genuine revisit's
+            # BoW candidate ADVANCES with the camera — between two hit
+            # polls `gap` frames apart, some candidate pair must differ
+            # by ~gap (either direction, +-candidate_tol). Requiring
+            # the SAME candidate index across polls (the old rule)
+            # rejects every moving revisit; requiring nothing lets a
+            # single-poll spurious hit fire a 1000x-weight loop edge.
+            # Matching considers the top-k candidate sets of both polls
+            # so one noisy argmin doesn't break a real track.
+            hf, cand, chi2v, alts = hit
+            gate = cfg.bow.chi2_accept * self.ALT_CHI2_SLACK
+            cur = [(cand, chi2v)] + [
+                (c, v) for c, v in alts if c >= 0 and v <= gate]
+            consistent = []
+            if self._prev_hit is not None:
+                phf, pcands = self._prev_hit
+                gap = hf - phf
+                tol = cfg.bow.candidate_tol
+                for c, v in cur:
+                    if any(min(abs(c - p - gap), abs(c - p + gap)) <= tol
+                           for p in pcands):
+                        consistent.append((c, v))
+            self._loop_streak = self._loop_streak + 1 if consistent else 1
+            self._prev_hit = (hf, [c for c, _ in cur])
+            strong = chi2v <= cfg.bow.chi2_strong
+            if strong or (consistent
+                          and self._loop_streak >= cfg.bow.confirm_polls):
+                self._try_close_loop(hf, consistent or cur[:1])
         else:
             self._loop_streak = 0
-            self._loop_streak_cand = None
+            self._prev_hit = None
 
         # Launch one windowed BA per missed cadence window: bursty row
         # consumption (the fetcher batches by round-trip time) must not
@@ -620,29 +633,30 @@ class SlamSystem:
     # Runner-up candidates are only worth a geometric check while their
     # histogram distance is in the same league as the accept gate.
     ALT_CHI2_SLACK = 1.5
+    MAX_VERIFY_PER_HIT = 3
 
-    def _try_close_loop(self, frame: int, cand: int, chi2: float,
-                        alts=()):
+    def _try_close_loop(self, frame: int, cands):
         """Dispatch candidate-vs-hit keyframe verification (device work,
         no sync); the result is consumed asynchronously at a later poll
         (_consume_verifications). BoW proposals are cheap and noisy —
         geometric verification is the precision gate — so attempts must
         not stall the camera loop either.
 
-        `alts` holds runner-up BoW candidates; each distinct one (beyond
-        candidate_tol of those already dispatched) with a plausible chi^2
-        gets its own verification — the argmin of a noisy histogram scan
-        is routinely a few frames off the best verifiable revisit, and a
-        rejected argmin must not cost the whole closure. Acceptance
-        stays exclusive: the first verified edge re-arms the window and
-        _apply_verification drops the rest."""
+        `cands` is a list of (candidate_frame, chi2), best first; each
+        distinct candidate (beyond candidate_tol of one already
+        dispatched) gets its own verification — the argmin of a noisy
+        histogram scan is routinely a few frames off the best
+        verifiable revisit, and a rejected argmin must not cost the
+        whole closure. Acceptance stays exclusive: the first verified
+        edge re-arms the window and _apply_verification drops the
+        rest."""
         tol = self.cfg.bow.candidate_tol
-        gate = self.cfg.bow.chi2_accept * self.ALT_CHI2_SLACK
-        todo = [(cand, chi2)]
-        for ac, av in alts:
-            if ac >= 0 and av <= gate and all(
-                    abs(ac - c) > tol for c, _ in todo):
-                todo.append((ac, av))
+        todo = []
+        for c, v in cands:
+            if len(todo) >= self.MAX_VERIFY_PER_HIT:
+                break
+            if all(abs(c - c2) > tol for c2, _ in todo):
+                todo.append((c, v))
         for c, v in todo:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.seed ^ 0x5a5a), frame * 7919 + c)
@@ -656,7 +670,7 @@ class SlamSystem:
         # dispatch for the same (still-unconsumed) hit would duplicate
         # work and, on acceptance, duplicate the edge.
         self._loop_streak = 0
-        self._loop_streak_cand = None
+        self._prev_hit = None
 
     def _apply_verification(self, frame, cand, chi2, fetched):
         ok_, n_inl, a_frame, T_ac = fetched
@@ -756,7 +770,7 @@ class SlamSystem:
             "bow_train_frame": self.bow_train_frame,
             "bow_trained": self._bow_trained,
             "loop_streak": self._loop_streak,
-            "loop_streak_cand": self._loop_streak_cand,
+            "prev_hit": self._prev_hit,
             "loop_edges": [
                 (int(i), int(j), np.asarray(Z).tolist(), float(w))
                 for i, j, Z, w in self.loop_edges],
@@ -781,7 +795,9 @@ class SlamSystem:
         sys_._kf_at_last_ba = meta["kf_at_last_ba"]
         sys_._bow_trained = meta.get("bow_trained", False)
         sys_._loop_streak = meta.get("loop_streak", 0)
-        sys_._loop_streak_cand = meta.get("loop_streak_cand", None)
+        ph = meta.get("prev_hit", None)
+        sys_._prev_hit = (int(ph[0]), [int(c) for c in ph[1]]) \
+            if ph else None
         sys_.loop_edges = [
             (i, j, np.asarray(Z, np.float32), w)
             for i, j, Z, w in meta["loop_edges"]]

@@ -1,0 +1,124 @@
+"""BASELINE config 4 at scale: large-map single-host global BA.
+
+Runs the FULL pipeline over a >=2000-frame synthetic sequence with
+keyframe_every=2 (>=1000 keyframes — the scale the reference's backend
+assumed, /root/reference/BundleAdjustment.py:17: 1100 frames), then one
+global bundle adjustment over ALL keyframes at the >=1024 row bucket,
+and records keyframes, observation count, wall time, cost before/after
+and keyframe-ATE before/after into BENCH_GLOBAL.json.
+
+Usage: python tools/global_ba_scale.py [--frames 2000] [--out BENCH_GLOBAL.json]
+(cwd must be /root/repo for the axon TPU plugin; runs on whatever
+jax.default_backend() is.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(_REPO, "BENCH_GLOBAL.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam1_tpu.config import SlamConfig
+    from slam1_tpu.models import pipeline
+    from slam1_tpu.models.ba import _cost
+    from slam1_tpu.utils.evalmetrics import ate_rmse
+    from slam1_tpu.utils.synthetic import make_world, render_frame
+
+    n = args.frames
+    cfg = SlamConfig()
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, keyframe_every=2))
+
+    world = make_world(jax.random.PRNGKey(5), n_frames=n,
+                       n_points=15 * n, trajectory="loop2", speed=1.0)
+    h, w = cfg.image.height, cfg.image.width
+
+    # Stream frames: render on device in chunks (a full (N,H,W) x2 stack
+    # at N=2000 is ~7.7 GB — most of a v5e chip's HBM).
+    chunk = 128
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
+    t_run0 = time.perf_counter()
+    done = 0
+    while done < n:
+        hi = min(done + chunk, n)
+        idx = jnp.arange(done, hi)
+        L, R = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
+                           batch_size=8)
+        for k in range(hi - done):
+            sys_.process(L[k], R[k])
+        done = hi
+        if done % 512 == 0:
+            print(f"  {done}/{n} frames", file=sys.stderr)
+    poses = sys_.finalize()
+    run_wall = time.perf_counter() - t_run0
+    fps = (n - 1) / run_wall
+
+    st = sys_.state
+    n_kf = int(st.kf.n)
+    bucket = next((b for b in (128, 512, 1024, 2048, 8192) if b >= n_kf),
+                  n_kf)
+    bucket = min(bucket, st.kf.xyz.shape[0])
+
+    # Keyframe ATE before global BA.
+    kf_frames = np.asarray(st.kf.frame_of_row[:n_kf])
+    gt = np.asarray(world.poses)
+    ate_before = float(ate_rmse(np.asarray(st.traj)[kf_frames],
+                                gt[kf_frames], align=False))
+
+    prob, _ = pipeline.build_global_problem(st, bucket)
+    n_obs = int(np.asarray(jnp.sum(prob.w > 0)))
+    cost_before = float(_cost(prob, world.cam, cfg.ba.huber_delta)[0])
+
+    # Warm compile (excluded from the timed solve), then timed run.
+    st_warm, cost = pipeline.global_ba_step(st, world.cam, cfg,
+                                            n_kf=bucket)
+    jax.block_until_ready(st_warm.traj)
+    t0 = time.perf_counter()
+    st2, cost = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket)
+    jax.block_until_ready(st2.traj)
+    ba_wall = time.perf_counter() - t0
+
+    ate_after = float(ate_rmse(np.asarray(st2.traj)[kf_frames],
+                               gt[kf_frames], align=False))
+    out = {
+        "frames": n,
+        "pipeline_fps": round(fps, 2),
+        "keyframes": n_kf,
+        "bucket": bucket,
+        "global_ba_observations": n_obs,
+        "global_ba_wall_s": round(ba_wall, 3),
+        "lm_iters": cfg.ba.lm_iters,
+        "cg_iters": cfg.ba.cg_iters,
+        "cost_before": round(cost_before, 2),
+        "cost_after": round(float(cost), 2),
+        "kf_ate_before_m": round(ate_before, 4),
+        "kf_ate_after_m": round(ate_after, 4),
+        "loop_closures": len(sys_.loop_edges),
+        "backend": jax.default_backend(),
+    }
+    json.dump(out, open(args.out, "w"), indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
