@@ -65,35 +65,52 @@ def measure_slam(cfg, n_frames=SLAM_FRAMES):
     ref's runtime GT diff (main.py:143-146) is final-pose-only; RMSE
     over the whole trajectory is stricter."""
     import jax
+    import jax.numpy as jnp
 
     from slam1_tpu.models import pipeline
     from slam1_tpu.utils.evalmetrics import ate_rmse
-    from slam1_tpu.utils.synthetic import make_world, render_sequence
+    from slam1_tpu.utils.synthetic import make_world, render_frame
 
     world = make_world(jax.random.PRNGKey(11), n_frames=n_frames,
                        n_points=20 * n_frames, trajectory="loop2",
                        speed=1.0)
-    lefts, rights = render_sequence(world, cfg.image.height,
-                                    cfg.image.width)
-    jax.block_until_ready(lefts)
+
+    # Render into device-resident CHUNKS, not one (N,H,W) stack: a
+    # GB-scale single buffer reliably crashes the remote-TPU relay
+    # (worker "kernel fault" at 600 frames), while 64-frame chunks are
+    # fine — and the frames stay on device so the timed loop measures
+    # the chip, not host->device transfer.
+    ch = 64
+    h, w = cfg.image.height, cfg.image.width
+    chunks = []
+    for s in range(0, n_frames, ch):
+        idx = jnp.arange(s, min(s + ch, n_frames))
+        l, r = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
+                           batch_size=8)
+        jax.block_until_ready(l)
+        chunks.append((l, r))
+
+    def frame(i):
+        l, r = chunks[i // ch]
+        return l[i % ch], r[i % ch]
 
     # Warm pass: compiles every jit the pipeline can reach (slam_step,
     # BoW train/backfill, local BA, loop verification, PGO).
     warm = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
     for i in range(n_frames):
-        warm.process(lefts[i], rights[i])
+        warm.process(*frame(i))
     warm.finalize()
 
     sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
-    sys_.process(lefts[0], rights[0])
+    sys_.process(*frame(0))
     t0 = time.perf_counter()
     for i in range(1, n_frames):
-        sys_.process(lefts[i], rights[i])
+        sys_.process(*frame(i))
     jax.block_until_ready(sys_.state.T_w_cam)
     fps = (n_frames - 1) / (time.perf_counter() - t0)
     poses = sys_.finalize()
     ate = float(ate_rmse(poses, np.asarray(world.poses), align=False))
-    return fps, ate, len(sys_.loop_edges), lefts, rights, world
+    return fps, ate, len(sys_.loop_edges), chunks, world
 
 
 def measure_reference_slam(lefts_np, rights_np, world, n_frames):
@@ -393,12 +410,11 @@ def main():
 
     vo_fps = measure_vo(lefts, rights, world.cam, cfg)
     try:
-        slam_fps, ate, n_loops, s_lefts, s_rights, s_world = \
-            measure_slam(cfg)
+        slam_fps, ate, n_loops, s_chunks, s_world = measure_slam(cfg)
     except Exception as e:  # ATE half must not kill the fps contract
         print(f"measure_slam failed: {e}", file=sys.stderr)
         slam_fps, ate, n_loops = None, None, None
-        s_lefts = s_rights = s_world = None
+        s_chunks = s_world = None
 
     cache_path = os.path.join(_REPO, ".bench_baseline.json")
     cache = {}
@@ -420,9 +436,12 @@ def main():
     clip_key = f"loop2-{SLAM_FRAMES}"        # invalidate on clip change
     ref = cache.get("reference_slam_v2")
     if (ref is None or cache.get("clip") != clip_key) \
-            and s_lefts is not None:
-        ref = measure_reference_slam(np.asarray(s_lefts),
-                                     np.asarray(s_rights), s_world,
+            and s_chunks is not None:
+        # one-time host materialization of the clip for the CPU
+        # reference (chunked device->host fetch; cached thereafter)
+        s_lefts = np.concatenate([np.asarray(l) for l, _ in s_chunks])
+        s_rights = np.concatenate([np.asarray(r) for _, r in s_chunks])
+        ref = measure_reference_slam(s_lefts, s_rights, s_world,
                                      SLAM_FRAMES)
     ref_slam, ref_ate, ref_loops = ref if ref else (None, None, None)
     if ref_vo or ref:

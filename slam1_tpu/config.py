@@ -187,18 +187,27 @@ class BowConfig:
     # consecutive polls must show some candidate pair whose index
     # difference matches the elapsed frames within +-candidate_tol —
     # NOT the same index (that would reject every moving revisit).
-    min_loop_inliers: int = 20
+    # Observed margins (600-frame bench clip): genuine loop pairs score
+    # 17-205 RANSAC inliers, spurious BoW candidates 0-2 — 15 keeps a
+    # wide precision margin while recovering offset revisits whose
+    # viewpoint difference halves the match count.
+    min_loop_inliers: int = 15
     confirm_polls: int = 2
     candidate_tol: int = 2
     # A hit FAR below the accept threshold (near-exact revisit) skips
     # the multi-poll confirmation: it cannot plausibly be histogram
     # noise, and end-of-sequence closures may only ever see one poll.
     chi2_strong: float = 0.05
-    backfill_desc_per_frame: int = 1024  # descriptor sample per frame; ALL
+    backfill_desc_per_frame: int = 2048  # descriptor sample per frame; ALL
                                     # DB rows (live + backfilled) build
                                     # their histogram from this sample so
                                     # every row has the same chi^2 noise
-                                    # floor ~(num_words-1)/(2*this)
+                                    # floor ~(num_words-1)/(2*this).
+                                    # 2048 puts the floor (~0.015) well
+                                    # under a genuine-but-offset revisit
+                                    # (~0.02-0.03) — at 1024 the floor
+                                    # EQUALS the genuine score and the
+                                    # argmin is a coin flip
     loop_poll_every: int = 4        # host polls the device trigger flag
                                     # every N frames (avoids a per-frame
                                     # device->host sync)
@@ -210,7 +219,16 @@ class BowConfig:
     # at every poll (deterministic; used by tests). finalize() and
     # checkpoints force-drain.
     poll_lag_s: float = 0.05
-    poll_max_pending: int = 512     # force-drain backstop on queue depth
+    # Force-drain backstop on queue depth. This is NOT just a safety
+    # bound: through a remote-TPU relay the fetcher's device reads
+    # queue BEHIND the continuously-streaming step dispatches and can
+    # starve for the whole run (observed: zero rows consumed mid-run at
+    # 512), deferring every loop closure to finalize. A small bound
+    # forces one blocking mini-drain (~a pipeline bubble) per
+    # poll_max_pending frames so detection/verification/PGO run LIVE,
+    # lagging the camera by at most this many frames — within
+    # verify_loop_pair's lag tolerance by design.
+    poll_max_pending: int = 64
     sample_desc_per_frame: int = 128  # descriptors sampled per frame for vocab
 
 

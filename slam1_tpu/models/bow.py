@@ -164,17 +164,22 @@ def backfill_chunk(state: BowState, start, chunk: int) -> BowState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"))
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "min_sep"))
 def query_topk(state: BowState, frame_idx, desc, mask, cfg: BowConfig,
-               k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               k: int = 3, min_sep: int = 8
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chi^2 scan against all frames older than `query_exclude`,
-    returning the k best candidates.
+    returning the k best SPATIALLY DISTINCT candidates (greedy
+    non-maximum suppression with a +-min_sep frame exclusion window
+    around each pick).
 
     The reference only ever considers the argmin (predict_previous,
-    /root/reference/bag_of_words.py:42); the argmin of a noisy histogram
-    distance routinely lands a couple of frames off the best
-    geometrically-verifiable revisit, so the pipeline verifies the top-k
-    candidates instead of betting the (1000x-weighted) loop edge on one.
+    /root/reference/bag_of_words.py:42); near the histogram sampling
+    noise floor the raw top-k is usually k adjacent frames around one
+    (possibly spurious) minimum, so without NMS the runner-ups carry no
+    extra information. With it, the genuine revisit reliably appears in
+    the candidate set even when a noise frame wins the argmin — the
+    geometric verification then picks the right one.
 
     Returns (frames (k,) int32 with -1 for "nothing eligible", sorted
     best-first; dists (k,) float32 with -1 in the empty slots).
@@ -183,11 +188,18 @@ def query_topk(state: BowState, frame_idx, desc, mask, cfg: BowConfig,
     diff2 = (state.db - h[None, :]) ** 2
     denom = state.db + h[None, :] + 1e-10
     chi2 = jnp.sum(diff2 / denom, axis=1)                   # (F,)
-    ages_ok = jnp.arange(state.db.shape[0]) <= frame_idx - cfg.query_exclude
+    f_cap = state.db.shape[0]
+    ages_ok = jnp.arange(f_cap) <= frame_idx - cfg.query_exclude
     eligible = state.db_mask & ages_ok & state.trained
     chi2 = jnp.where(eligible, chi2, jnp.inf)
-    neg, idx = jax.lax.top_k(-chi2, k)
-    vals = -neg
+
+    def pick(c, _):
+        b = jnp.argmin(c)
+        v = c[b]
+        sup = jnp.abs(jnp.arange(f_cap) - b) <= min_sep
+        return jnp.where(sup, jnp.inf, c), (b, v)
+
+    _, (idx, vals) = jax.lax.scan(pick, chi2, None, length=k)
     found = jnp.isfinite(vals)
     return (jnp.where(found, idx, -1).astype(jnp.int32),
             jnp.where(found, vals, -1.0).astype(jnp.float32))

@@ -59,7 +59,12 @@ from slam1_tpu.types import StereoObservations
 from slam1_tpu.utils import checkpoint as ckpt_mod
 
 MAX_LOOP_EDGES = 128
-KF_FEATURES = 512
+# Per-keyframe snapshot capacity (top-K features by corner score). 1024
+# (not 512): loop verification matches snapshot-vs-snapshot, and a
+# genuine-but-offset revisit only re-observes a fraction of them — the
+# deeper snapshot roughly doubles its inlier count for one extra
+# (F,512,32)-uint8 table and a bigger (but MXU-trivial) Hamming matmul.
+KF_FEATURES = 1024
 PGO_BUCKETS = (512, 2048, 8192)
 
 import time as _time
@@ -211,7 +216,7 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
     bw = bow_mod.add_frame(bw, k_bow2, frame, feats.desc, feats.mask,
                            is_kf=is_kf)
     cands, chi2s = bow_mod.query_topk(bw, frame, feats.desc, feats.mask,
-                                      cfg.bow, k=3)
+                                      cfg.bow, k=4)
     cand, chi2 = cands[0], chi2s[0]
     # NOTE: no `chi2 > 0` guard (ref main.py:100 has one for its raw-count
     # self-match degeneracy): an exact re-visit legitimately scores 0.
@@ -238,11 +243,13 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
         jnp.sum(obs.mask).astype(f32),
         track.pnp.num_inliers.astype(f32), track.pnp.mean_err,
         track.pnp.ok.astype(f32), frame.astype(f32),
-        # runner-up loop candidates: the host verifies the top-k, not
-        # just the argmin (BoW noise lands the argmin a few frames off
-        # the best geometrically-verifiable revisit on real imagery)
+        # runner-up loop candidates (NMS-separated): the host verifies
+        # the top-k, not just the argmin — near the histogram noise
+        # floor the argmin is often a spurious frame while the genuine
+        # revisit sits in the runner-ups
         cands[1].astype(f32), chi2s[1].astype(f32),
-        cands[2].astype(f32), chi2s[2].astype(f32)])
+        cands[2].astype(f32), chi2s[2].astype(f32),
+        cands[3].astype(f32), chi2s[3].astype(f32)])
     # current-frame features returned for host-triggered loop verification
     return new_state, out_row, feats
 
@@ -441,9 +448,8 @@ class SlamSystem:
         self._rearm_at = 0
         self._kf_at_last_ba = 1
         self._bow_trained = False
-        self._loop_streak = 0            # consecutive consistent hit polls
-        self._prev_hit = None            # (hit_frame, [candidates]) of the
-                                         # previous hit poll
+        self._hit_history = []           # rolling [(frame, [(cand, chi2)])]
+                                         # of recent BoW hit rows
         self._pending: list = []         # (dispatch_time, row) not consumed
         self._verifying: list = []       # (t, hit_frame, cand, chi2, LoopPairResult)
         self._last_feats = None
@@ -558,53 +564,59 @@ class SlamSystem:
         latest = drained[-1]
         kf_n = int(latest.kf_n)
 
-        # Scan ALL drained outputs for a loop hit (a hit on a non-poll
-        # frame that fades by the poll frame must not be dropped); the
-        # most recent hit wins. Verification runs keyframe-vs-keyframe
+        # Collect ALL drained hit rows (a hit on a non-poll frame that
+        # fades by the poll frame must not be dropped) into a rolling
+        # history; verification runs keyframe-vs-keyframe
         # (verify_loop_pair) so consumption lag cannot invalidate it.
-        hit = None
+        gate = cfg.bow.chi2_accept * self.ALT_CHI2_SLACK
         nf = self.frame_count - len(drained) + 1  # fallback numbering
-        for k in range(len(drained) - 1, -1, -1):
-            if bool(drained[k].loop_hit):
-                hf = int(drained[k].frame)
-                if hf < 0:
-                    hf = max(nf + k, 0)
-                hit = (hf, int(drained[k].loop_candidate),
-                       float(drained[k].loop_chi2),
-                       drained[k].alt_cands)
-                break
-        if self._bow_trained and hit and hit[0] >= self._rearm_at:
+        newest = None
+        for k, r in enumerate(drained):
+            if not bool(r.loop_hit):
+                continue
+            hf = int(r.frame)
+            if hf < 0:
+                hf = max(nf + k, 0)
+            cands = [(int(r.loop_candidate), float(r.loop_chi2))] + [
+                (c, v) for c, v in r.alt_cands if c >= 0 and v <= gate]
+            self._hit_history.append((hf, cands))
+            newest = (hf, cands)
+        del self._hit_history[:-self.HIT_HISTORY]
+        if self._bow_trained and newest and newest[0] >= self._rearm_at:
             # Progression-consistent confirmation: a genuine revisit's
             # BoW candidate ADVANCES with the camera — between two hit
-            # polls `gap` frames apart, some candidate pair must differ
-            # by ~gap (either direction, +-candidate_tol). Requiring
-            # the SAME candidate index across polls (the old rule)
-            # rejects every moving revisit; requiring nothing lets a
-            # single-poll spurious hit fire a 1000x-weight loop edge.
-            # Matching considers the top-k candidate sets of both polls
-            # so one noisy argmin doesn't break a real track.
-            hf, cand, chi2v, alts = hit
-            gate = cfg.bow.chi2_accept * self.ALT_CHI2_SLACK
-            cur = [(cand, chi2v)] + [
-                (c, v) for c, v in alts if c >= 0 and v <= gate]
-            consistent = []
-            if self._prev_hit is not None:
-                phf, pcands = self._prev_hit
-                gap = hf - phf
-                tol = cfg.bow.candidate_tol
-                for c, v in cur:
+            # rows `gap` frames apart, candidate indices must differ by
+            # ~gap (either direction, +-candidate_tol). Requiring the
+            # SAME candidate index across polls would reject every
+            # moving revisit; requiring nothing lets a single spurious
+            # hit fire a 1000x-weight loop edge. Support is counted
+            # over the whole rolling history (drains arrive in bursts
+            # through the async fetcher, so "consecutive polls" is not
+            # a usable clock — row-level history is).
+            hf, cur = newest
+            tol = cfg.bow.candidate_tol
+            need = max(cfg.bow.confirm_polls - 1, 1)
+            confirmed = []
+            for c, v in cur:
+                support = 0
+                for phf, pcands in self._hit_history:
+                    gap = hf - phf
+                    if gap <= 0 or gap > self.HIT_WINDOW:
+                        continue
                     if any(min(abs(c - p - gap), abs(c - p + gap)) <= tol
-                           for p in pcands):
-                        consistent.append((c, v))
-            self._loop_streak = self._loop_streak + 1 if consistent else 1
-            self._prev_hit = (hf, [c for c, _ in cur])
-            strong = chi2v <= cfg.bow.chi2_strong
-            if strong or (consistent
-                          and self._loop_streak >= cfg.bow.confirm_polls):
-                self._try_close_loop(hf, consistent or cur[:1])
-        else:
-            self._loop_streak = 0
-            self._prev_hit = None
+                           for p, _ in pcands):
+                        support += 1
+                if support >= need:
+                    confirmed.append((c, v))
+            strong = cur[0][1] <= cfg.bow.chi2_strong
+            if confirmed or strong:
+                # verify every confirmed candidate (NMS keeps them
+                # spatially distinct): near the noise floor the argmin
+                # is often a spurious frame while the genuine revisit
+                # sits in the runner-ups — geometric verification is
+                # the arbiter, so give it the full slate.
+                confirmed.sort(key=lambda cv: cv[1])
+                self._try_close_loop(hf, confirmed or cur)
 
         # Launch one windowed BA per missed cadence window: bursty row
         # consumption (the fetcher batches by round-trip time) must not
@@ -633,7 +645,9 @@ class SlamSystem:
     # Runner-up candidates are only worth a geometric check while their
     # histogram distance is in the same league as the accept gate.
     ALT_CHI2_SLACK = 1.5
-    MAX_VERIFY_PER_HIT = 3
+    MAX_VERIFY_PER_HIT = 4
+    HIT_HISTORY = 24                 # hit rows kept for confirmation
+    HIT_WINDOW = 32                  # max frame gap that counts as support
 
     def _try_close_loop(self, frame: int, cands):
         """Dispatch candidate-vs-hit keyframe verification (device work,
@@ -669,8 +683,7 @@ class SlamSystem:
         # Back off further attempts until these are consumed: a second
         # dispatch for the same (still-unconsumed) hit would duplicate
         # work and, on acceptance, duplicate the edge.
-        self._loop_streak = 0
-        self._prev_hit = None
+        self._hit_history = []
 
     def _apply_verification(self, frame, cand, chi2, fetched):
         ok_, n_inl, a_frame, T_ac = fetched
@@ -769,8 +782,7 @@ class SlamSystem:
             "seed": self.seed,
             "bow_train_frame": self.bow_train_frame,
             "bow_trained": self._bow_trained,
-            "loop_streak": self._loop_streak,
-            "prev_hit": self._prev_hit,
+            "hit_history": self._hit_history,
             "loop_edges": [
                 (int(i), int(j), np.asarray(Z).tolist(), float(w))
                 for i, j, Z, w in self.loop_edges],
@@ -794,10 +806,9 @@ class SlamSystem:
         sys_._rearm_at = meta["rearm_at"]
         sys_._kf_at_last_ba = meta["kf_at_last_ba"]
         sys_._bow_trained = meta.get("bow_trained", False)
-        sys_._loop_streak = meta.get("loop_streak", 0)
-        ph = meta.get("prev_hit", None)
-        sys_._prev_hit = (int(ph[0]), [int(c) for c in ph[1]]) \
-            if ph else None
+        sys_._hit_history = [
+            (int(hf), [(int(c), float(v)) for c, v in cands])
+            for hf, cands in meta.get("hit_history", [])]
         sys_.loop_edges = [
             (i, j, np.asarray(Z, np.float32), w)
             for i, j, Z, w in meta["loop_edges"]]

@@ -102,3 +102,99 @@ def ransac_fundamental(key, uv1, uv2, mask, iters: int = 128,
     num = jnp.maximum(num, counts[best])
     return FMatResult(F=F, inliers=inliers, num_inliers=num,
                       ok=num >= min_inliers)
+
+
+# ---------------------------------------------------------------------------
+# Essential-matrix 2D-2D pose (monocular bootstrap).
+#
+# The reference carries this path unused (get_pose/decomp_essential_mat,
+# /root/reference/visual_odometry_solution_methods.py:50-68:
+# cv2.findEssentialMat -> decomposeEssentialMat -> 4-candidate
+# cheirality vote). TPU shape: E from the RANSAC F (E = K^T F K),
+# closed-form SVD decomposition, and the cheirality vote as ONE batched
+# triangulation over all 4 (R, t) candidates x all correspondences —
+# no per-candidate Python loop.
+# ---------------------------------------------------------------------------
+
+
+class PoseFromE(NamedTuple):
+    T: jnp.ndarray          # (4,4) camera2-from-camera1, |t| = 1
+    inliers: jnp.ndarray    # (N,) epipolar inliers used for the vote
+    num_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t) candidate factors (Hartley & Zisserman 9.6.2)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Proper rotations: flip the sign of the singular vector blocks.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                    E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    return R1, R2, t
+
+
+def _triangulate_pair(R, t, x1, x2):
+    """Linear two-view triangulation in NORMALIZED coords (P1=[I|0],
+    P2=[R|t]); returns (z1, z2) depths. Batched over correspondences."""
+    # midpoint method: solve [x1, -R^T x2] [z1 z2]^T = R^T t  (3 eqs, 2 unk)
+    a = x1                                   # (N,3)
+    b = -(x2 @ R)                            # R^T x2 rows -> (N,3)
+    rhs = -(t @ R)                           # R^T t        -> (3,)
+    # normal equations per correspondence (2x2, closed form)
+    aa = jnp.sum(a * a, -1)
+    ab = jnp.sum(a * b, -1)
+    bb = jnp.sum(b * b, -1)
+    ar = a @ rhs
+    br = b @ rhs
+    det = aa * bb - ab * ab
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    z1 = (bb * ar - ab * br) / det
+    z2 = (-ab * ar + aa * br) / det
+    # depth in camera 2 of the camera-1 point: (R X1 + t).z
+    X1 = x1 * z1[:, None]
+    d2 = (X1 @ R.T + t)[:, 2]
+    return z1, d2
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def recover_pose_2d2d(key, uv1, uv2, mask, K, iters: int = 256,
+                      px_thresh: float = 1.5,
+                      min_inliers: int = 12) -> PoseFromE:
+    """Relative pose from 2D-2D correspondences (x2 ~ R x1 + t, |t|=1).
+
+    RANSAC-F -> E = K^T F K -> 4-candidate decomposition -> batched
+    cheirality vote (count of correspondences with positive depth in
+    BOTH cameras, ref :58-64), restricted to epipolar inliers.
+    """
+    fres = ransac_fundamental(key, uv1, uv2, mask, iters=iters,
+                              px_thresh=px_thresh,
+                              min_inliers=min_inliers)
+    E = K.T @ fres.F @ K
+    # project to the essential manifold: singular values (1, 1, 0)
+    U, _, Vt = jnp.linalg.svd(E)
+    E = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ Vt
+    R1, R2, t = decompose_essential(E)
+
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones_like(uv1[:, :1])
+    x1 = jnp.concatenate([uv1, ones], -1) @ Kinv.T
+    x2 = jnp.concatenate([uv2, ones], -1) @ Kinv.T
+
+    Rs = jnp.stack([R1, R1, R2, R2])                   # (4,3,3)
+    ts = jnp.stack([t, -t, t, -t])                     # (4,3)
+    z1, z2 = jax.vmap(_triangulate_pair, in_axes=(0, 0, None, None))(
+        Rs, ts, x1, x2)                                # (4,N) each
+    good = (z1 > 0) & (z2 > 0) & fres.inliers[None, :]
+    votes = jnp.sum(good, axis=1)                      # (4,)
+    best = jnp.argmax(votes)
+    R_best, t_best = Rs[best], ts[best]
+    T = jnp.eye(4, dtype=uv1.dtype)
+    T = T.at[:3, :3].set(R_best).at[:3, 3].set(t_best)
+    ok = fres.ok & (votes[best] >= min_inliers)
+    return PoseFromE(T=T, inliers=fres.inliers,
+                     num_inliers=fres.num_inliers, ok=ok)

@@ -4,7 +4,8 @@ import numpy as np
 
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera, project
-from slam1_tpu.ops.epipolar import ransac_fundamental, sampson_distance
+from slam1_tpu.ops.epipolar import (ransac_fundamental, recover_pose_2d2d,
+                                    sampson_distance)
 
 
 def two_view_problem(seed=0, n=128, outliers=0):
@@ -44,6 +45,30 @@ def test_fmat_rejects_outliers(rng):
     d = np.asarray(sampson_distance(res.F, jnp.asarray(uv1),
                                     jnp.asarray(uv2)))
     assert (d[inl] < 2.25).all()
+
+
+def test_recover_pose_2d2d(rng):
+    """Essential-matrix monocular pose (ref visual_odometry_solution_
+    methods.py:50-68): rotation recovered exactly, translation up to
+    scale, correct cheirality branch chosen."""
+    cam = StereoCamera.kitti_default()
+    T_true = np.asarray(se3.exp_se3(
+        jnp.asarray([0.3, 0.05, 0.5, 0.02, 0.04, 0.01])))
+    uv1, uv2, mask = two_view_problem(outliers=8)
+    res = recover_pose_2d2d(rng, jnp.asarray(uv1), jnp.asarray(uv2),
+                            jnp.asarray(mask), jnp.asarray(cam.K),
+                            iters=128)
+    assert bool(res.ok)
+    T = np.asarray(res.T)
+    # rotation error (degrees)
+    dR = T[:3, :3].T @ T_true[:3, :3]
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.5, ang
+    # translation direction (unit-scale) within a few degrees
+    t_est = T[:3, 3] / np.linalg.norm(T[:3, 3])
+    t_gt = T_true[:3, 3] / np.linalg.norm(T_true[:3, 3])
+    cosang = float(np.dot(t_est, t_gt))
+    assert cosang > 0.99, cosang
 
 
 def test_fmat_agrees_with_opencv(rng):

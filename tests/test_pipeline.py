@@ -184,11 +184,11 @@ def test_checkpoint_resume_equivalence(tmp_path):
 
 
 def test_single_poll_spurious_hit_does_not_fire():
-    """A borderline BoW hit seen on only ONE poll must not spend a
-    geometric verification / fire a loop edge (confirm_polls=2); two
-    consecutive polls with the same candidate must."""
-    import jax.numpy as jnp
-
+    """A borderline BoW hit with no progression-consistent support must
+    not spend a geometric verification / fire a loop edge
+    (confirm_polls=2); a candidate that ADVANCES with the camera across
+    hit rows (progression consistency) must — and only that candidate
+    is dispatched."""
     from slam1_tpu.models.pipeline import StepOutput
 
     cfg, world, lefts, rights = _render("straight", n_frames=2)
@@ -198,36 +198,38 @@ def test_single_poll_spurious_hit_does_not_fire():
     sys_._bow_trained = True
     sys_._rearm_at = 0
     calls = []
-    sys_._try_close_loop = lambda *a, **k: calls.append(a)
+    sys_._try_close_loop = lambda f, cands: calls.append((f, list(cands)))
 
-    def fake_out(hit, cand, chi2):
+    def fake_out(hit, cand, chi2, frame):
         z = np.int32(0)
         return StepOutput(
             loop_hit=np.asarray(hit), loop_candidate=np.int32(cand),
             loop_chi2=np.float32(chi2), is_kf=np.asarray(True),
             kf_n=np.int32(1), num_stereo=z, num_inliers=z,
-            mean_reproj_err=np.float32(0), pnp_ok=np.asarray(True))
+            mean_reproj_err=np.float32(0), pnp_ok=np.asarray(True),
+            frame=frame)
 
     borderline = cfg.bow.chi2_accept * 0.9       # a hit, but not "strong"
-    # Poll 1: single borderline hit -> streak 1, no verification.
-    sys_._pending = [(0.0, fake_out(True, 5, borderline))]
+    # Hit row with no history -> no support -> no verification.
+    sys_._pending = [(0.0, fake_out(True, 5, borderline, 10))]
     sys_._poll(None)
     assert not calls
-    # Poll 2: NO hit -> streak resets.
-    sys_._pending = [(0.0, fake_out(False, -1, 1.0))]
-    sys_._poll(None)
-    # Poll 3: hit again -> streak back to 1, still no verification.
-    sys_._pending = [(0.0, fake_out(True, 5, borderline))]
+    # A second hit whose candidate does NOT track the camera's advance
+    # (gap 2, candidate jumped by 295) -> still no verification.
+    sys_._pending = [(0.0, fake_out(True, 300, borderline, 12))]
     sys_._poll(None)
     assert not calls
-    # Poll 4: same candidate (+-tol) on the consecutive poll -> fires.
-    sys_._pending = [(0.0, fake_out(True, 6, borderline))]
+    # A candidate advancing WITH the camera (cand 9 at frame 14 matches
+    # cand 5 at frame 10: |9 - 5 - 4| = 0 <= tol) -> fires, and the
+    # dispatched slate contains exactly the consistent candidate.
+    sys_._pending = [(0.0, fake_out(True, 9, borderline, 14))]
     sys_._poll(None)
     assert len(calls) == 1
-    # A strong (near-zero chi2) single hit fires immediately after reset.
-    sys_._pending = [(0.0, fake_out(False, -1, 1.0))]
-    sys_._poll(None)
-    sys_._pending = [(0.0, fake_out(True, 9, cfg.bow.chi2_strong * 0.5))]
+    assert [c for c, _ in calls[0][1]] == [9]
+    # A strong (near-zero chi2) single hit fires immediately even with
+    # no support (history was reset by the dispatch above).
+    sys_._pending = [(0.0, fake_out(True, 50, cfg.bow.chi2_strong * 0.5,
+                                    20))]
     sys_._poll(None)
     assert len(calls) == 2
 

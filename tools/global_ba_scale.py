@@ -53,8 +53,9 @@ def main() -> int:
     h, w = cfg.image.height, cfg.image.width
 
     # Stream frames: render on device in chunks (a full (N,H,W) x2 stack
-    # at N=2000 is ~7.7 GB — most of a v5e chip's HBM).
-    chunk = 128
+    # at N=2000 is ~7.7 GB — most of a v5e chip's HBM, and GB-scale
+    # single buffers crash the remote-TPU relay).
+    chunk = 64
     sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
     t_run0 = time.perf_counter()
     done = 0
