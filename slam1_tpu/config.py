@@ -143,7 +143,13 @@ class MappingConfig:
     merge_radius: float = 0.5       # merge-if-closer threshold, metres
     merge_desc_gate: int = 64       # max Hamming distance (of 256 bits)
                                     # for a positional hash merge; 0 = off
-    probes: int = 4                 # linear probes on hash collision
+    probes: int = 2                 # linear probes on hash collision.
+                                    # Probe gathers dominate insert (the
+                                    # batched probe is (N, 8*probes)
+                                    # rows); at 2^18 buckets vs ~1e5
+                                    # landmarks chains beyond 2 are rare
+                                    # — halving probes saves ~1.7 ms per
+                                    # insert for <<1% extra duplicates
     obs_per_frame: int = 512        # observation record slots per frame
     # Keyframe policy (the lifecycle /root/reference/local_mapping.py:2-7
     # only sketches; ref main.py:121 promotes every frame): a frame is a

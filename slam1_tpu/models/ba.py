@@ -44,7 +44,7 @@ from slam1_tpu.config import BAConfig
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
 from slam1_tpu.ops.cg import cg
-from slam1_tpu.ops.lsq import huber_weights
+from slam1_tpu.ops.lsq import huber_weights, inv_spd6
 
 
 class BAProblem(NamedTuple):
@@ -147,7 +147,9 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
         out = out - jnp.zeros((C, 6), r.dtype).at[ci].add(y)
         return out.at[0].set(x[0])                                # gauge
 
-    Minv = jnp.linalg.inv(Hcc_d)
+    # closed-form blockwise SPD inverse (jnp.linalg.inv = scalarized
+    # LU on TPU; at C ~ 1024 cameras the batched LU dwarfs the CG body)
+    Minv = inv_spd6(Hcc_d)
 
     def precond(v):
         return jnp.einsum("cij,cj->ci", Minv, v)

@@ -80,7 +80,18 @@ def verify_loop_pair(key, store: KeyframeStore, cand_frame, hit_frame,
     valid = m.mask & kf_mask
     uv_a = a_uv[m.idx]
 
-    pnp = ransac_pnp(key, kf_xyz, uv_a, valid, cam, cfg.tracking)
+    # Loop pairs are far harder than frame-to-frame tracking: an
+    # offset revisit re-observes only a few % of the 1024-deep
+    # snapshots, so the candidate-match inlier fraction is low and a
+    # tracking-strength RANSAC (256 x 6-point) succeeds only ~half the
+    # time — recall then flips on the PRNG key. 4-point minimal
+    # samples raise the all-inlier hypothesis probability by ~an order
+    # of magnitude and 1024 hypotheses amortize fine on a per-closure
+    # cadence.
+    import dataclasses as _dc
+    loop_cfg = _dc.replace(cfg.tracking, ransac_iters=1024,
+                           ransac_sample=4)
+    pnp = ransac_pnp(key, kf_xyz, uv_a, valid, cam, loop_cfg)
     ok = (pnp.ok & anchor_ok
           & (pnp.num_inliers >= cfg.bow.min_loop_inliers))
     return LoopPairResult(T_anchor_cand=pnp.T, anchor_frame=a_frame,

@@ -74,6 +74,10 @@ def _now() -> float:
     return _time.perf_counter()
 
 
+ROW_W = 16                  # packed metrics row width
+ROW_RING = 256              # device-side metrics ring capacity (frames)
+
+
 class SlamState(NamedTuple):
     T_w_cam: jnp.ndarray
     prev_obs: StereoObservations
@@ -90,6 +94,12 @@ class SlamState(NamedTuple):
     last_kf_pos: jnp.ndarray    # (3,) translation at last keyframe
     prev_lm: jnp.ndarray     # (N,) int32 landmark row of each prev_obs
                              # slot (-1 unknown) — feature-track identity
+    rows: jnp.ndarray        # (ROW_RING, ROW_W) device-side metrics ring:
+                             # frame f's packed row lives at f % ROW_RING.
+                             # The host fetches the WHOLE ring as ONE
+                             # array per drain — through a remote-TPU
+                             # relay a device_get of N separate row
+                             # handles costs ~N round trips
 
 
 class StepOutput(NamedTuple):
@@ -138,6 +148,7 @@ def _init_state(left, right, cam, cfg: SlamConfig, seed: int) -> SlamState:
         last_kf_frame=jnp.asarray(0, jnp.int32),
         last_kf_pos=jnp.zeros(3, left.dtype),
         prev_lm=jnp.full((obs.mask.shape[0],), -1, jnp.int32),
+        rows=jnp.zeros((ROW_RING, ROW_W), left.dtype),
     )
     # Frame 0 is always a keyframe (ref main.py:75 bootstraps frame 0).
     xyz_w = obs.xyz
@@ -159,9 +170,8 @@ def _init_state(left, right, cam, cfg: SlamConfig, seed: int) -> SlamState:
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def slam_step(state: SlamState, left, right, cam: StereoCamera,
-              cfg: SlamConfig):
+def _step_core(state: SlamState, left, right, cam: StereoCamera,
+               cfg: SlamConfig):
     key, k_pnp, k_bow, k_bow2 = jax.random.split(state.key, 4)
 
     feats, obs = stereo_frontend(left, right, cam, cfg)
@@ -231,11 +241,12 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
         map=new_map, kf=kf, bow=bw, traj=traj, rel=rel, rel_mask=rel_mask,
         last_kf_frame=jnp.where(is_kf, frame, state.last_kf_frame),
         last_kf_pos=jnp.where(is_kf, T_w[:3, 3], state.last_kf_pos),
-        prev_lm=new_prev_lm)
-    # ONE packed (10,) row instead of 9 separate device scalars: the
-    # host prefetches it with copy_to_host_async and never pays a
-    # per-scalar device->host round trip (~30 ms each via a remote-TPU
-    # tunnel; see SlamSystem._poll).
+        prev_lm=new_prev_lm, rows=state.rows)
+    # ONE packed row per frame, written into the DEVICE-SIDE ring
+    # (state.rows): the host fetches the whole ring as a single array
+    # per drain instead of per-frame/per-scalar device->host round
+    # trips (~10-30 ms each via a remote-TPU tunnel; see
+    # SlamSystem._drain_rows).
     f32 = left.dtype
     out_row = jnp.stack([
         loop_hit.astype(f32), cand.astype(f32), chi2.astype(f32),
@@ -250,8 +261,37 @@ def slam_step(state: SlamState, left, right, cam: StereoCamera,
         cands[1].astype(f32), chi2s[1].astype(f32),
         cands[2].astype(f32), chi2s[2].astype(f32),
         cands[3].astype(f32), chi2s[3].astype(f32)])
-    # current-frame features returned for host-triggered loop verification
+    new_state = new_state._replace(
+        rows=state.rows.at[frame % ROW_RING].set(out_row))
     return new_state, out_row, feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_step(state: SlamState, left, right, cam: StereoCamera,
+              cfg: SlamConfig):
+    """One frame per dispatched program."""
+    return _step_core(state, left, right, cam, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def slam_step_block(state: SlamState, lefts, rights, cam: StereoCamera,
+                    cfg: SlamConfig):
+    """K frames per dispatched program (lax.scan over _step_core).
+
+    Tracking is inherently serial, but serial does NOT mean one program
+    per frame: through a remote-TPU relay every dispatched program
+    costs ~12 ms of fixed round-trip overhead (measured: an identity
+    program over the full SlamState costs the same as a 137-GFLOP
+    matmul), which caps a per-frame design at ~80 fps regardless of
+    device speed. Scanning K frames inside one program amortizes that
+    to 12/K ms/frame; metrics still land per-frame in the state.rows
+    ring, so the host's drain/loop-closure machinery is unchanged.
+    """
+    def body(s, lr):
+        s2, row, _ = _step_core(s, lr[0], lr[1], cam, cfg)
+        return s2, row
+    state, rows = jax.lax.scan(body, state, (lefts, rights))
+    return state, rows
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -410,6 +450,18 @@ def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
     return traj, t_w, new_kf_poses, kf_mask, cost
 
 
+@jax.jit
+def _pack_pair_result(res) -> jnp.ndarray:
+    """LoopPairResult -> one (19,) array [T.flat, anchor, inliers, ok]
+    so the host fetches a verification with ONE transfer."""
+    f32 = res.T_anchor_cand.dtype
+    return jnp.concatenate([
+        res.T_anchor_cand.reshape(-1),
+        jnp.stack([res.anchor_frame.astype(f32),
+                   res.num_inliers.astype(f32),
+                   res.ok.astype(f32)])])
+
+
 @dataclasses.dataclass
 class LoopEvent:
     frame: int
@@ -422,15 +474,16 @@ class LoopEvent:
 class SlamSystem:
     """Host-side orchestrator (the `slam.run(config)` API, SURVEY C24).
 
-    Host-device discipline: NOTHING in the frame path forces a
-    host<->device round trip. Each slam_step emits one packed (10,)
-    metrics row whose host copy is started immediately
-    (copy_to_host_async); a poll only CONSUMES rows older than
-    `bow.poll_lag_s` — by then the copy has landed and device_get is
-    free. The backend (loop detection, local BA, PGO) therefore runs as
-    an asynchronous consumer lagging the camera loop by ~one round-trip
-    latency, never stalling it — the TPU answer to the reference's
-    separate backend process (BundleAdjustment.py:186-225).
+    Host-device discipline: NOTHING in the per-frame path forces a
+    host<->device round trip (not even copy_to_host_async — through a
+    remote-TPU relay that is itself a pipeline flush). Each slam_step
+    emits one packed metrics row; a worker thread device_gets BATCHES
+    of rows (age-gated by `bow.poll_lag_s`), with a small forced drain
+    every `bow.poll_max_pending` frames as the latency bound. The
+    backend (loop detection, local BA, PGO) therefore runs as an
+    asynchronous consumer lagging the camera loop by at most that many
+    frames, never stalling it per-frame — the TPU answer to the
+    reference's separate backend process (BundleAdjustment.py:186-225).
     """
 
     def __init__(self, cam: StereoCamera, cfg: Optional[SlamConfig] = None,
@@ -450,21 +503,21 @@ class SlamSystem:
         self._bow_trained = False
         self._hit_history = []           # rolling [(frame, [(cand, chi2)])]
                                          # of recent BoW hit rows
-        self._pending: list = []         # (dispatch_time, row) not consumed
-        self._verifying: list = []       # (t, hit_frame, cand, chi2, LoopPairResult)
-        self._last_feats = None
-        # Background fetcher: a device->host read through a remote-TPU
-        # tunnel costs a full round trip (~30 ms) and can stall behind
-        # queued dispatches, so the camera-loop thread NEVER calls
-        # device_get. A single worker thread runs one BATCHED get at a
-        # time; a new batch is submitted only when the previous one
-        # finished, so the batch size adapts itself to the round-trip
-        # latency (high-RTT tunnel -> bigger batches, local chip ->
-        # per-poll batches). Disabled (synchronous, deterministic) when
-        # bow.poll_lag_s == 0 — the tests' configuration.
+        self._last_drained = 0           # newest frame whose metrics row
+                                         # has been fetched from the ring
+        self._verifying: list = []       # (t, hit_frame, cand, chi2, packed)
+        # Transport discipline (measured on the remote-TPU relay): every
+        # device->host read contends with the dispatch stream — a read
+        # per frame/poll collapses throughput ~40x. So the camera loop
+        # reads back exactly ONE array (the state.rows metrics ring) per
+        # `bow.poll_max_pending` frames; that bound is the backend
+        # latency contract (loop detection/verification/PGO lag the
+        # camera by at most that many frames — within
+        # verify_loop_pair's lag tolerance by design). poll_lag_s > 0
+        # selects this batched-drain mode; 0 = drain at every poll
+        # (synchronous, deterministic — the tests' configuration).
         self._async = getattr(self.cfg.bow, "poll_lag_s", 0.0) > 0.0
         self._pool = None
-        self._inflight = None            # Future -> list of rows
         self._verify_inflight = None     # Future for one verification get
         if self._async:
             import concurrent.futures
@@ -484,67 +537,73 @@ class SlamSystem:
             self.frame_count = 0
             return None
 
-        self.state, out_row, feats = slam_step(self.state, left, right,
-                                               self.cam, cfg)
-        self.frame_count += 1
-        frame = self.frame_count
-        if hasattr(out_row, "copy_to_host_async"):
-            out_row.copy_to_host_async()         # fire-and-forget prefetch
-        self._pending.append((_now(), out_row))
-        self._last_feats = feats
+        self.state, out_row, _ = slam_step(self.state, left, right,
+                                           self.cam, cfg)
+        # NOTE: deliberately NO per-frame copy_to_host_async / handle
+        # retention. Through the remote-TPU relay copy_to_host_async is
+        # a hidden pipeline flush (~10 ms/frame), and a device_get of N
+        # retained row handles costs ~N round trips. The metrics live
+        # in the device-side ring (state.rows); _drain_rows fetches it
+        # as ONE array.
+        self._after_frames(1)
+        return out_row
 
-        if frame == self.bow_train_frame:
+    def process_block(self, lefts, rights):
+        """Process a (K,H,W) block of frames with ONE dispatched program
+        (slam_step_block) — the relay's ~12 ms per-program overhead is
+        the throughput ceiling of a per-frame design; K frames per
+        program amortize it to 12/K ms. Bootstrap frame 0 with
+        process() first. Host-side cadences (BoW training, polls,
+        checkpoints) land on block boundaries."""
+        assert self.state is not None, "bootstrap with process() first"
+        self.state, _ = slam_step_block(self.state, lefts, rights,
+                                        self.cam, self.cfg)
+        self._after_frames(int(lefts.shape[0]))
+
+    def _crossed(self, every: int, k: int) -> bool:
+        return every > 0 and (self.frame_count // every
+                              != (self.frame_count - k) // every)
+
+    def _after_frames(self, k: int):
+        cfg = self.cfg
+        self.frame_count += k
+        frame = self.frame_count
+        if (not self._bow_trained) and frame >= self.bow_train_frame:
             self._train_bow()
             self._bow_trained = True
-
-        if frame % cfg.bow.loop_poll_every == 0:
+        if self._crossed(cfg.bow.loop_poll_every, k):
             self._poll()
-
         # Checkpoint AFTER the poll so backend work launched this frame
         # (local BA, PGO) is captured — resume then replays identically.
         rt = cfg.runtime
-        if rt.checkpoint_every and frame % rt.checkpoint_every == 0:
+        if self._crossed(rt.checkpoint_every, k):
             self.save_checkpoint(os.path.join(
                 rt.checkpoint_dir, f"ckpt_{frame:06d}.npz"))
-        return out_row
 
     def _drain_rows(self, force):
-        """Fetch consumable metrics rows without blocking the caller
-        (unless force). Returns unpacked StepOutputs, oldest first."""
-        rows = []
-        if not self._async:
-            if self._pending:
-                rows = jax.device_get([r for _, r in self._pending])
-                self._pending = []
-            return rows
-        # The poll_max_pending backstop applies to the HARVEST too: while
-        # a batched get is in flight the queue would otherwise grow
-        # unbounded (the bound was only enforced at submission time).
-        over = len(self._pending) > self.cfg.bow.poll_max_pending
-        # 1) harvest the finished (or forced/over-bound) in-flight batch
-        if self._inflight is not None and (force or over
-                                           or self._inflight.done()):
-            rows = self._inflight.result()
-            self._inflight = None
-        # 2) submit the rows whose async host copy has had poll_lag_s
-        #    seconds to land (the age gate — younger rows wait for the
-        #    next poll, so device_get never blocks on an unfinished
-        #    copy); force / the queue-depth backstop submit everything.
-        #    Batch size still adapts to the tunnel round-trip time: a new
-        #    batch is only submitted when the fetcher is idle.
-        if self._inflight is None and self._pending:
-            lag = self.cfg.bow.poll_lag_s
-            now = _now()
-            cut = len(self._pending) if (force or over) else next(
-                (k for k, (t, _) in enumerate(self._pending)
-                 if now - t < lag), len(self._pending))
-            if cut:
-                batch = [r for _, r in self._pending[:cut]]
-                del self._pending[:cut]
-                self._inflight = self._pool.submit(jax.device_get, batch)
-                if force or over:
-                    rows = rows + self._inflight.result()
-                    self._inflight = None
+        """Fetch undrained metrics rows from the device ring as ONE
+        array transfer. In async mode the fetch happens only when
+        `poll_max_pending` frames have accumulated (or on force) — the
+        single bounded pipeline bubble per window; in sync mode (tests)
+        at every poll. Returns raw (ROW_W,) numpy rows, oldest first."""
+        n_new = self.frame_count - self._last_drained
+        if n_new <= 0:
+            return []
+        if self._async and not force \
+                and n_new < self.cfg.bow.poll_max_pending:
+            return []
+        ring = np.asarray(jax.device_get(self.state.rows))
+        start = self._last_drained + 1
+        if n_new > ROW_RING:
+            # Drains were disabled longer than the ring: the oldest
+            # rows were overwritten. Keep the newest ROW_RING.
+            import warnings
+            warnings.warn(f"metrics ring overflowed: "
+                          f"{n_new - ROW_RING} rows lost")
+            start = self.frame_count - ROW_RING + 1
+        rows = [ring[f % ROW_RING] for f in
+                range(start, self.frame_count + 1)]
+        self._last_drained = self.frame_count
         return rows
 
     def _poll(self, force=False):
@@ -614,9 +673,16 @@ class SlamSystem:
                 # spatially distinct): near the noise floor the argmin
                 # is often a spurious frame while the genuine revisit
                 # sits in the runner-ups — geometric verification is
-                # the arbiter, so give it the full slate.
+                # the arbiter, so give it the full slate. A STRONG
+                # argmin always rides along even when progression noise
+                # "confirmed" other candidates — dropping a near-exact
+                # revisit in favour of confirmed noise cost the
+                # endpoint closure on the bench clip.
                 confirmed.sort(key=lambda cv: cv[1])
-                self._try_close_loop(hf, confirmed or cur)
+                slate = list(confirmed) if confirmed else list(cur)
+                if strong and all(c != cur[0][0] for c, _ in slate):
+                    slate.insert(0, cur[0])
+                self._try_close_loop(hf, slate)
 
         # Launch one windowed BA per missed cadence window: bursty row
         # consumption (the fetcher batches by round-trip time) must not
@@ -676,18 +742,23 @@ class SlamSystem:
                 jax.random.PRNGKey(self.seed ^ 0x5a5a), frame * 7919 + c)
             res = verify_loop_pair(key, self.state.kf, c, frame, self.cam,
                                    self.cfg)
-            for leaf in res:
-                if hasattr(leaf, "copy_to_host_async"):
-                    leaf.copy_to_host_async()
-            self._verifying.append((_now(), frame, c, v, res))
+            # ONE packed device array per verification (a device_get of
+            # k separate leaves costs ~k relay round trips; and no
+            # copy_to_host_async — that is a relay-side pipeline flush,
+            # see process()). The async consumer fetches it later.
+            self._verifying.append((_now(), frame, c, v,
+                                    _pack_pair_result(res)))
         # Back off further attempts until these are consumed: a second
         # dispatch for the same (still-unconsumed) hit would duplicate
         # work and, on acceptance, duplicate the edge.
         self._hit_history = []
 
     def _apply_verification(self, frame, cand, chi2, fetched):
-        ok_, n_inl, a_frame, T_ac = fetched
-        ok = bool(ok_)
+        packed = np.asarray(fetched)
+        T_ac = packed[:16].reshape(4, 4)
+        a_frame = int(packed[16])
+        n_inl = int(packed[17])
+        ok = bool(packed[18] > 0.5)
         self.loop_events.append(LoopEvent(
             frame=frame, candidate=cand, chi2=chi2,
             num_inliers=int(n_inl), accepted=ok))
@@ -705,10 +776,9 @@ class SlamSystem:
 
     def _consume_verifications(self, force=False):
         if not self._async:
-            for _, frame, cand, chi2, res in self._verifying:
-                self._apply_verification(frame, cand, chi2, jax.device_get(
-                    (res.ok, res.num_inliers, res.anchor_frame,
-                     res.T_anchor_cand)))
+            for _, frame, cand, chi2, packed in self._verifying:
+                self._apply_verification(frame, cand, chi2,
+                                         jax.device_get(packed))
             self._verifying = []
             return
         while True:
@@ -721,10 +791,8 @@ class SlamSystem:
                 self._apply_verification(frame, cand, chi2, fut.result())
             if not self._verifying:
                 return
-            _, frame, cand, chi2, res = self._verifying.pop(0)
-            fut = self._pool.submit(
-                jax.device_get, (res.ok, res.num_inliers, res.anchor_frame,
-                                 res.T_anchor_cand))
+            _, frame, cand, chi2, packed = self._verifying.pop(0)
+            fut = self._pool.submit(jax.device_get, packed)
             self._verify_inflight = (fut, frame, cand, chi2)
             if not force:
                 return
@@ -803,6 +871,8 @@ class SlamSystem:
         template = _template_state(cam, cfg, meta["seed"])
         sys_.state = ckpt_mod.load(path, template)
         sys_.frame_count = meta["frame_count"]
+        sys_._last_drained = meta["frame_count"]   # ring rows were
+        # consumed by the pre-checkpoint force-drain
         sys_._rearm_at = meta["rearm_at"]
         sys_._kf_at_last_ba = meta["kf_at_last_ba"]
         sys_._bow_trained = meta.get("bow_trained", False)

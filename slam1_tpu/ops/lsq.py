@@ -93,3 +93,59 @@ def huber_weights(r2, delta: float):
     """IRLS weights for the Huber loss given squared residual norms."""
     d2 = delta * delta
     return jnp.where(r2 <= d2, 1.0, jnp.sqrt(d2 / jnp.maximum(r2, 1e-12)))
+
+
+def inv3x3(m):
+    """Batched closed-form 3x3 inverse via the adjugate — pure
+    elementwise VPU work. jnp.linalg.inv/solve lower to a SCALARIZED LU
+    loop on TPU (~100 us per call even for tiny systems), which
+    dominates GN/LM inner loops."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca = e * i - f * h
+    cb = c * h - b * i
+    cc = b * f - c * e
+    cd = f * g - d * i
+    ce = a * i - c * g
+    cf = c * d - a * f
+    cg = d * h - e * g
+    ch = b * g - a * h
+    ci = a * e - b * d
+    det = a * ca + b * cd + c * cg
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack([
+        jnp.stack([ca, cb, cc], -1),
+        jnp.stack([cd, ce, cf], -1),
+        jnp.stack([cg, ch, ci], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def inv_spd6(H):
+    """Batched closed-form inverse of a 6x6 SPD matrix via 3x3
+    blockwise Schur complement (all closed-form 3x3 inverses — no
+    scalarized LU). H = [[A, B], [B^T, D]]:
+        S   = D - B^T A^-1 B        (Schur complement)
+        Hinv = [[A^-1 + A^-1 B S^-1 B^T A^-1,  -A^-1 B S^-1],
+                [-S^-1 B^T A^-1,                S^-1       ]]
+    """
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    D = H[..., 3:, 3:]
+    Ai = inv3x3(A)
+    Bt = jnp.swapaxes(B, -1, -2)
+    AiB = Ai @ B
+    S = D - Bt @ AiB
+    Si = inv3x3(S)
+    top_right = -AiB @ Si
+    top_left = Ai + AiB @ Si @ jnp.swapaxes(AiB, -1, -2)
+    bot_left = jnp.swapaxes(top_right, -1, -2)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def solve_spd6(H, g):
+    """Solve the 6x6 SPD system H x = g (batched) via inv_spd6."""
+    return (inv_spd6(H) @ g[..., None])[..., 0]

@@ -107,10 +107,12 @@ def exp_se3(xi):
 
 def log_se3(T):
     """(...,4,4) -> (...,6) twist [rho, phi]."""
+    from slam1_tpu.ops.lsq import inv3x3
     R, t = to_Rt(T)
     phi = log_so3(R)
     V = _v_matrix(phi)
-    rho = jnp.linalg.solve(V, t[..., None])[..., 0]
+    # closed-form 3x3 inverse: jnp.linalg.solve scalarizes to LU on TPU
+    rho = (inv3x3(V) @ t[..., None])[..., 0]
     return jnp.concatenate([rho, phi], axis=-1)
 
 

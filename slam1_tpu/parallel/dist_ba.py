@@ -229,7 +229,8 @@ def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
         out = jnp.einsum("cij,cj->ci", Hcc_d, x) - y
         return out.at[0].set(x[0])
 
-    Minv = jnp.linalg.inv(Hcc_d)
+    from slam1_tpu.ops.lsq import inv_spd6
+    Minv = inv_spd6(Hcc_d)   # closed-form (no scalarized LU)
     dc = cg(matvec, btil, iters=cfg.cg_iters,
             precond=lambda v: jnp.einsum("cij,cj->ci", Minv, v))
     dc = dc.at[0].set(0.0)

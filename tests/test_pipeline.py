@@ -211,26 +211,25 @@ def test_single_poll_spurious_hit_does_not_fire():
 
     borderline = cfg.bow.chi2_accept * 0.9       # a hit, but not "strong"
     # Hit row with no history -> no support -> no verification.
-    sys_._pending = [(0.0, fake_out(True, 5, borderline, 10))]
-    sys_._poll(None)
+    def push(*rows):
+        sys_._drain_rows = lambda force, rows=list(rows): rows
+        sys_._poll(None)
+
+    push(fake_out(True, 5, borderline, 10))
     assert not calls
     # A second hit whose candidate does NOT track the camera's advance
     # (gap 2, candidate jumped by 295) -> still no verification.
-    sys_._pending = [(0.0, fake_out(True, 300, borderline, 12))]
-    sys_._poll(None)
+    push(fake_out(True, 300, borderline, 12))
     assert not calls
     # A candidate advancing WITH the camera (cand 9 at frame 14 matches
     # cand 5 at frame 10: |9 - 5 - 4| = 0 <= tol) -> fires, and the
     # dispatched slate contains exactly the consistent candidate.
-    sys_._pending = [(0.0, fake_out(True, 9, borderline, 14))]
-    sys_._poll(None)
+    push(fake_out(True, 9, borderline, 14))
     assert len(calls) == 1
     assert [c for c, _ in calls[0][1]] == [9]
     # A strong (near-zero chi2) single hit fires immediately even with
     # no support (history was reset by the dispatch above).
-    sys_._pending = [(0.0, fake_out(True, 50, cfg.bow.chi2_strong * 0.5,
-                                    20))]
-    sys_._poll(None)
+    push(fake_out(True, 50, cfg.bow.chi2_strong * 0.5, 20))
     assert len(calls) == 2
 
 
@@ -258,10 +257,9 @@ def test_hit_on_non_poll_frame_not_dropped():
 
     strong = cfg.bow.chi2_strong * 0.5
     # hit on the FIRST of 4 drained frames only (fades by poll frame)
-    sys_._pending = [(0.0, fake_out(True, 3, strong)),
-                     (0.0, fake_out(False, -1, 1.0)),
-                     (0.0, fake_out(False, -1, 1.0)),
-                     (0.0, fake_out(False, -1, 1.0))]
+    sys_._drain_rows = lambda force: [
+        fake_out(True, 3, strong), fake_out(False, -1, 1.0),
+        fake_out(False, -1, 1.0), fake_out(False, -1, 1.0)]
     sys_._poll(None)
     assert len(calls) == 1
 
