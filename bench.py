@@ -41,21 +41,24 @@ SLAM_FRAMES = 600      # full-pipeline clip: TWO laps of a loop — the
 
 
 def measure_vo(lefts, rights, cam, cfg):
-    import jax
+    """VO throughput with scan-blocked steps and a REAL device sync.
+
+    (jax.block_until_ready is a no-op through the remote-TPU relay —
+    r1-r3 VO 'fps' numbers were dispatch-rate mirages; see
+    PROFILE_r04.md. Only an actual fetch synchronizes.)"""
     from slam1_tpu.models import vo
 
     state = vo.init_state(lefts[0], rights[0], cam, cfg)
-    for i in range(1, 4):                      # warm-up: compile + steps
-        state, m = vo.vo_step(state, lefts[i], rights[i], cam, cfg)
-    jax.block_until_ready(state.T_w_cam)
+    Ls, Rs = lefts[1:], rights[1:]
+    state, poses, m = vo.vo_block(state, Ls, Rs, cam, cfg)   # warm/compile
+    _ = np.asarray(state.T_w_cam)                            # real sync
 
-    n_img = lefts.shape[0]
+    reps = max(VO_STEPS // Ls.shape[0], 1)
     t0 = time.perf_counter()
-    for k in range(VO_STEPS):
-        i = 1 + (k % (n_img - 1))
-        state, m = vo.vo_step(state, lefts[i], rights[i], cam, cfg)
-    jax.block_until_ready(state.T_w_cam)
-    return VO_STEPS / (time.perf_counter() - t0)
+    for _k in range(reps):
+        state, poses, m = vo.vo_block(state, Ls, Rs, cam, cfg)
+    _ = np.asarray(state.T_w_cam)                            # real sync
+    return reps * Ls.shape[0] / (time.perf_counter() - t0)
 
 
 def measure_slam(cfg, n_frames=SLAM_FRAMES):
@@ -90,23 +93,32 @@ def measure_slam(cfg, n_frames=SLAM_FRAMES):
         jax.block_until_ready(l)
         chunks.append((l, r))
 
-    def frame(i):
-        l, r = chunks[i // ch]
-        return l[i % ch], r[i % ch]
+    # Feed BLOCKS of frames: one dispatched program per `blk` frames
+    # (slam_step_block) — the relay's ~12 ms per-program overhead caps
+    # a per-frame design at ~80 fps regardless of kernel speed.
+    blk = 32
+
+    def feed(sys_):
+        sys_.process(chunks[0][0][0], chunks[0][1][0])   # bootstrap
+        i = 1
+        while i < n_frames:
+            c, off = i // ch, i % ch
+            k = min(blk, ch - off, n_frames - i)
+            l, r = chunks[c]
+            sys_.process_block(l[off:off + k], r[off:off + k])
+            i += k
 
     # Warm pass: compiles every jit the pipeline can reach (slam_step,
     # BoW train/backfill, local BA, loop verification, PGO).
     warm = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
-    for i in range(n_frames):
-        warm.process(*frame(i))
+    feed(warm)
     warm.finalize()
 
     sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
-    sys_.process(*frame(0))
     t0 = time.perf_counter()
-    for i in range(1, n_frames):
-        sys_.process(*frame(i))
-    jax.block_until_ready(sys_.state.T_w_cam)
+    feed(sys_)
+    _ = np.asarray(sys_.state.T_w_cam)   # REAL sync (block_until_ready
+    #                                      is a relay no-op)
     fps = (n_frames - 1) / (time.perf_counter() - t0)
     poses = sys_.finalize()
     ate = float(ate_rmse(poses, np.asarray(world.poses), align=False))

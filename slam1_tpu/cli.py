@@ -161,6 +161,13 @@ def _cmd_ba(args):
         bucket = next((b for b in (128, 512, 2048, 8192)
                        if b >= n_kf), n_kf)
         bucket = min(bucket, sys_.state.kf.xyz.shape[0])
+        # Compacted static observation bucket (the raw slot layout is
+        # mostly padding; see pipeline.build_global_problem).
+        import numpy as _np
+        n_obs_real = int(_np.asarray(
+            jnp.sum(sys_.state.map.obs_count[:bucket])))
+        obs_bucket = 1 << max(
+            int(_np.ceil(_np.log2(max(n_obs_real, 1)))), 10)
         if args.distributed:
             # Landmark-sharded Schur BA over all available devices
             # (BASELINE config 5's solver driving the LIVE system's
@@ -172,8 +179,14 @@ def _cmd_ba(args):
             from slam1_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(lm_axis=args.lm_shards or None)
             shards = mesh.shape["lm"]
-            prob, frames = pipeline.build_global_problem(sys_.state, bucket)
-            sharded, orig, n_dropped = partition_problem_device(prob, shards)
+            prob, frames = pipeline.build_global_problem(
+                sys_.state, bucket, obs_bucket)
+            # Full per-shard capacity: landmark blocks are insertion-
+            # ordered and spatially clustered, so per-shard observation
+            # counts can be far from uniform; with the compacted
+            # problem the default 2x-mean headroom drops rows.
+            sharded, orig, n_dropped = partition_problem_device(
+                prob, shards, obs_per_shard=obs_bucket)
             out_p, cost = distributed_bundle_adjust(sharded, cam, cfg.ba,
                                                     mesh)
             dropped = int(n_dropped)
@@ -189,15 +202,22 @@ def _cmd_ba(args):
             # whenever L % shards != 0).
             pts = jnp.asarray(st.map.xyz).at[orig.reshape(-1)].set(
                 out_p.points.reshape(-1, 3), mode="drop")
-            kf_poses = jnp.asarray(st.kf.poses).at[
-                jnp.arange(bucket)].set(out_p.poses)
+            # Only real keyframe rows take the optimized poses (bucket
+            # >= n_kf: padding rows must keep the row-validity
+            # discipline used everywhere else).
+            rows_b = jnp.arange(bucket)
+            rows_w = jnp.where(rows_b < n_kf, rows_b,
+                               st.kf.poses.shape[0])
+            kf_poses = jnp.asarray(st.kf.poses).at[rows_w].set(
+                out_p.poses, mode="drop")
             sys_.state = st._replace(
                 traj=traj, map=st.map._replace(xyz=pts),
                 kf=st.kf._replace(poses=kf_poses))
             extra = {"mesh": dict(mesh.shape), "dropped_obs": dropped}
         else:
             sys_.state, cost = pipeline.global_ba_step(
-                sys_.state, cam, cfg, n_kf=bucket)
+                sys_.state, cam, cfg, n_kf=bucket,
+                obs_bucket=obs_bucket)
             extra = {}
         poses = sys_.poses()
         np.save(args.out, poses)

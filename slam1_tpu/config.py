@@ -217,13 +217,13 @@ class BowConfig:
     loop_poll_every: int = 4        # host polls the device trigger flag
                                     # every N frames (avoids a per-frame
                                     # device->host sync)
-    # Asynchronous poll consumption: each frame's packed metrics row is
-    # prefetched to the host with copy_to_host_async; a poll only
-    # CONSUMES rows older than poll_lag_s seconds (their copy has
-    # landed), so the camera loop never blocks on a device->host round
-    # trip (~30 ms through a remote-TPU tunnel). 0 = consume everything
-    # at every poll (deterministic; used by tests). finalize() and
-    # checkpoints force-drain.
+    # Batched-drain mode switch. > 0: per-frame metrics accumulate in
+    # the DEVICE-side ring (SlamState.rows) and the host fetches the
+    # ring as ONE array per poll_max_pending frames — through a
+    # remote-TPU relay every device->host read contends with the
+    # dispatch stream, so per-frame/per-poll reads collapse throughput
+    # ~40x. 0 = drain at every poll (synchronous, deterministic; the
+    # tests' configuration). finalize() and checkpoints force-drain.
     poll_lag_s: float = 0.05
     # Force-drain backstop on queue depth. This is NOT just a safety
     # bound: through a remote-TPU relay the fetcher's device reads

@@ -385,10 +385,19 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
     return new_state, cost
 
 
-def build_global_problem(state: SlamState, n_kf: int):
+def build_global_problem(state: SlamState, n_kf: int,
+                         obs_bucket: int = 0):
     """BAProblem over keyframes [0, n_kf) from the per-keyframe
     observation slots (BASELINE config 4: global BA over all keyframes).
-    `n_kf` must be static (host buckets it)."""
+    `n_kf` must be static (host buckets it).
+
+    obs_bucket > 0 COMPACTS the observation axis: the raw slot layout
+    is ~90% padding (n_kf * obs_per_frame slots vs the real observation
+    count), and every BA linearization/CG matvec pays for all of it.
+    Valid rows are sorted to the front and the first `obs_bucket`
+    (static) kept — pick it as the smallest bucket >= the real count
+    (host knows sum(obs_count)); overflow beyond the bucket is dropped.
+    """
     obs = state.map.obs[:n_kf]                              # (N,OPF,4)
     ur = state.map.obs_ur[:n_kf].reshape(-1)
     opf = obs.shape[1]
@@ -408,18 +417,36 @@ def build_global_problem(state: SlamState, n_kf: int):
     poses = state.traj[frames]
     w = valid.astype(uv.dtype)
     wr = ((ur > 0) & valid).astype(uv.dtype)
+    if obs_bucket and obs_bucket < lm.shape[0]:
+        order = jnp.argsort(~valid, stable=True)[:obs_bucket]
+        cam_idx = cam_idx[order]
+        lmc = lmc[order]
+        uv = uv[order]
+        w = w[order]
+        ur = ur[order]
+        wr = wr[order]
     return make_problem(poses, state.map.xyz, cam_idx, lmc, uv, w,
                         ur=ur, wr=wr), frames
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_kf"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_kf", "obs_bucket"))
 def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
-                   n_kf: int):
-    """Global BA over the first n_kf keyframes; returns updated state."""
-    prob, frames = build_global_problem(state, n_kf)
+                   n_kf: int, obs_bucket: int = 0):
+    """Global BA over the first n_kf keyframes; returns updated state.
+    `obs_bucket`: static compacted observation count (see
+    build_global_problem) — callers pick the smallest bucket covering
+    int(sum(map.obs_count[:n_kf]))."""
+    prob, frames = build_global_problem(state, n_kf, obs_bucket)
     out, cost = bundle_adjust(prob, cam, cfg.ba)
-    traj = state.traj.at[frames].set(out.poses)
-    kf_poses = state.kf.poses.at[jnp.arange(n_kf)].set(out.poses)
+    # Row-validity discipline: only REAL keyframe rows write back
+    # (n_kf is a bucket >= kf.n; padding rows' frames clip to 0 and
+    # would otherwise scatter onto traj[0]).
+    rows = jnp.arange(n_kf)
+    ok = (rows < state.kf.n) & (state.kf.frame_of_row[:n_kf] >= 0)
+    frames_w = jnp.where(ok, frames, state.traj.shape[0])
+    traj = state.traj.at[frames_w].set(out.poses, mode="drop")
+    rows_w = jnp.where(ok, rows, state.kf.poses.shape[0])
+    kf_poses = state.kf.poses.at[rows_w].set(out.poses, mode="drop")
     t_w = traj[jnp.clip(state.frame, 0, traj.shape[0] - 1)]
     return state._replace(
         traj=traj, kf=state.kf._replace(poses=kf_poses),
@@ -428,8 +455,17 @@ def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
 
 @functools.partial(jax.jit, static_argnames=("bucket", "iters", "cg_iters"))
 def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
-              le_w, frame, bucket: int, iters: int, cg_iters: int):
-    """Pose-graph relaxation over the first `bucket` poses (static)."""
+              le_w, frame, map_xyz, map_last, map_valid,
+              bucket: int, iters: int, cg_iters: int):
+    """Pose-graph relaxation over the first `bucket` poses (static),
+    plus LANDMARK RE-ANCHORING: each map point rides the pose
+    correction of its anchor frame (last observation). Without this,
+    a loop closure moves the trajectory while the map stays in the
+    drifted frame — every subsequent local/global BA then starts from
+    hundreds-of-px residuals and its outlier cut zeroes the very
+    observations that could pull things together (observed at config-4
+    scale: global BA left keyframe ATE unchanged)."""
+    traj_old = traj
     t = traj[:bucket]
     ei = jnp.arange(bucket - 1, dtype=jnp.int32)
     # rel[f] = log(T_f_{f-1}) (tracker convention: X_cur = T @ X_prev);
@@ -447,7 +483,14 @@ def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
     t_w = traj[jnp.clip(frame, 0, traj.shape[0] - 1)]
     # Refresh keyframe poses from the relaxed trajectory.
     new_kf_poses = traj[jnp.clip(kf_frames, 0, traj.shape[0] - 1)]
-    return traj, t_w, new_kf_poses, kf_mask, cost
+    # Re-anchor landmarks: X' = T_new[f] @ inv(T_old[f]) @ X with f the
+    # landmark's last-observation frame (cheap rigid approximation; BA
+    # refines from there).
+    f_lm = jnp.clip(map_last, 0, traj.shape[0] - 1)
+    d = traj[f_lm] @ se3.inverse(traj_old[f_lm])          # (CAP,4,4)
+    xyz2 = (d[:, :3, :3] @ map_xyz[..., None])[..., 0] + d[:, :3, 3]
+    xyz2 = jnp.where(map_valid[:, None], xyz2, map_xyz)
+    return traj, t_w, new_kf_poses, kf_mask, xyz2, cost
 
 
 @jax.jit
@@ -821,16 +864,18 @@ class SlamSystem:
         for k, (i, j, Z, w) in enumerate(edges):
             le_i[k], le_j[k], le_z[k], le_w[k] = i, j, Z, w
 
-        traj, t_w, kf_poses, kf_mask, cost = _pgo_step(
+        traj, t_w, kf_poses, kf_mask, map_xyz, cost = _pgo_step(
             st.traj, st.rel, st.rel_mask, st.kf.frame_of_row,
             st.kf.frame_of_row >= 0, jnp.asarray(le_i), jnp.asarray(le_j),
             jnp.asarray(le_z), jnp.asarray(le_w), st.frame,
+            st.map.xyz, st.map.last_frame, st.map.valid,
             bucket=bucket,
             iters=(iters or max(self.cfg.ba.pg_iters // 5, 3)),
             cg_iters=self.cfg.ba.cg_iters)
         kf_sel = jnp.where(kf_mask[:, None, None], kf_poses, st.kf.poses)
         self.state = st._replace(traj=traj, T_w_cam=t_w,
-                                 kf=st.kf._replace(poses=kf_sel))
+                                 kf=st.kf._replace(poses=kf_sel),
+                                 map=st.map._replace(xyz=map_xyz))
 
     # ------------------------------------------------ checkpoint/resume
     def save_checkpoint(self, path: str):

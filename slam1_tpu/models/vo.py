@@ -80,6 +80,34 @@ def vo_step(state: VOState, left, right, cam: StereoCamera,
     return new_state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def vo_block(state: VOState, lefts, rights, cam: StereoCamera,
+             cfg: SlamConfig):
+    """K frames of VO in ONE dispatched program (lax.scan over vo_step's
+    body). Through a remote-TPU relay each program costs ~12 ms of
+    round-trip overhead, capping a per-frame design at ~80 fps no
+    matter how fast the kernels are; scanning K frames amortizes it to
+    12/K ms (see models/pipeline.slam_step_block). Returns
+    (state, poses (K,4,4), metrics stacked over K)."""
+    def body(s, lr):
+        key, sub = jax.random.split(s.key)
+        feats, obs = stereo_frontend(lr[0], lr[1], cam, cfg)
+        track = temporal_track(sub, s.prev_obs, feats, cam, cfg,
+                               xi_prior=s.xi_vel)
+        T_w, xi_used = chain_pose(s.T_w_cam, track.pnp, s.xi_vel)
+        s2 = VOState(T_w_cam=T_w, prev_obs=obs, xi_vel=xi_used, key=key,
+                     frame=s.frame + 1)
+        m = VOMetrics(
+            num_stereo=jnp.sum(obs.mask),
+            num_temporal=track.num_candidates,
+            num_inliers=track.pnp.num_inliers,
+            mean_reproj_err=track.pnp.mean_err,
+            pnp_ok=track.pnp.ok)
+        return s2, (T_w, m)
+    state, (poses, metrics) = jax.lax.scan(body, state, (lefts, rights))
+    return state, poses, metrics
+
+
 def run_sequence(lefts, rights, cam: StereoCamera, cfg: SlamConfig,
                  seed: int = 0):
     """Host driver: sequential VO over (F,H,W) stacks.

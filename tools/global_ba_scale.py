@@ -54,24 +54,46 @@ def main() -> int:
 
     # Stream frames: render on device in chunks (a full (N,H,W) x2 stack
     # at N=2000 is ~7.7 GB — most of a v5e chip's HBM, and GB-scale
-    # single buffers crash the remote-TPU relay).
+    # single buffers crash the remote-TPU relay), feed 32-frame BLOCKS
+    # (one dispatched program each; see models/pipeline.slam_step_block).
     chunk = 64
+    blk = 32
     sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
     t_run0 = time.perf_counter()
+    t_half = None
+    n_half = 0
     done = 0
     while done < n:
         hi = min(done + chunk, n)
         idx = jnp.arange(done, hi)
         L, R = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
                            batch_size=8)
-        for k in range(hi - done):
-            sys_.process(L[k], R[k])
+        k0 = 0
+        if done == 0:
+            sys_.process(L[0], R[0])
+            k0 = 1
+        while k0 < hi - done:
+            k = min(blk, hi - done - k0)
+            sys_.process_block(L[k0:k0 + k], R[k0:k0 + k])
+            k0 += k
         done = hi
+        if t_half is None and done >= n // 2:
+            _ = np.asarray(sys_.state.T_w_cam)      # real sync
+            t_half = time.perf_counter()
+            n_half = done
         if done % 512 == 0:
             print(f"  {done}/{n} frames", file=sys.stderr)
+    _ = np.asarray(sys_.state.T_w_cam)              # real sync
+    t_end = time.perf_counter()
     poses = sys_.finalize()
-    run_wall = time.perf_counter() - t_run0
-    fps = (n - 1) / run_wall
+    run_wall = t_end - t_run0
+    fps = (n - 1) / run_wall                         # incl. all compiles
+    # steady-state fps: the second half, every jit warm (incl. per-chunk
+    # rendering — this is the live-system figure)
+    fps_steady = (n - n_half) / (t_end - t_half) if t_half else fps
+    for e in sys_.loop_events:
+        print(f"  loop event f={e.frame} cand={e.candidate} "
+              f"inl={e.num_inliers} acc={e.accepted}", file=sys.stderr)
 
     st = sys_.state
     n_kf = int(st.kf.n)
@@ -85,17 +107,23 @@ def main() -> int:
     ate_before = float(ate_rmse(np.asarray(st.traj)[kf_frames],
                                 gt[kf_frames], align=False))
 
-    prob, _ = pipeline.build_global_problem(st, bucket)
+    # Static compacted observation bucket: the raw slot layout is ~90%
+    # padding and every linearization/CG matvec pays for it.
+    n_obs_real = int(np.asarray(jnp.sum(st.map.obs_count[:bucket])))
+    obs_bucket = 1 << max(int(np.ceil(np.log2(max(n_obs_real, 1)))), 10)
+    prob, _ = pipeline.build_global_problem(st, bucket, obs_bucket)
     n_obs = int(np.asarray(jnp.sum(prob.w > 0)))
     cost_before = float(_cost(prob, world.cam, cfg.ba.huber_delta)[0])
 
     # Warm compile (excluded from the timed solve), then timed run.
     st_warm, cost = pipeline.global_ba_step(st, world.cam, cfg,
-                                            n_kf=bucket)
-    jax.block_until_ready(st_warm.traj)
+                                            n_kf=bucket,
+                                            obs_bucket=obs_bucket)
+    _ = np.asarray(st_warm.traj[0])
     t0 = time.perf_counter()
-    st2, cost = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket)
-    jax.block_until_ready(st2.traj)
+    st2, cost = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket,
+                                        obs_bucket=obs_bucket)
+    _ = np.asarray(st2.traj[0])                       # real sync
     ba_wall = time.perf_counter() - t0
 
     ate_after = float(ate_rmse(np.asarray(st2.traj)[kf_frames],
@@ -103,6 +131,7 @@ def main() -> int:
     out = {
         "frames": n,
         "pipeline_fps": round(fps, 2),
+        "pipeline_fps_steady": round(fps_steady, 2),
         "keyframes": n_kf,
         "bucket": bucket,
         "global_ba_observations": n_obs,

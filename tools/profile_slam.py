@@ -120,6 +120,7 @@ le = (jnp.zeros(64, jnp.int32), jnp.zeros(64, jnp.int32),
       jnp.zeros(64, jnp.float32))
 pg = lambda: pipeline._pgo_step(
     st.traj, st.rel, st.rel_mask, st.kf.frame_of_row,
-    st.kf.frame_of_row >= 0, *le, st.frame, bucket=512,
+    st.kf.frame_of_row >= 0, *le, st.frame,
+    st.map.xyz, st.map.last_frame, st.map.valid, bucket=512,
     iters=3, cg_iters=cfg.ba.cg_iters)
 timeit("pgo_step (bucket=512)", pg, n=5)
