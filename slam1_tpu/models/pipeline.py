@@ -725,7 +725,18 @@ class SlamSystem:
                 slate = list(confirmed) if confirmed else list(cur)
                 if strong and all(c != cur[0][0] for c, _ in slate):
                     slate.insert(0, cur[0])
-                self._try_close_loop(hf, slate)
+                pairs = [(hf, c, v) for c, v in slate]
+                # SECOND anchor: the newest hit row is one BoW sample;
+                # a hit row ~half a drain window older gives an
+                # independent slate against an older anchor keyframe —
+                # when the newest slate is all noise, the second anchor
+                # still lands the genuine pair (drains are the scarce
+                # resource, slates are cheap).
+                for phf, pcands in reversed(self._hit_history[:-1]):
+                    if hf - phf >= self.SECOND_ANCHOR_GAP:
+                        pairs += [(phf, c, v) for c, v in pcands[:2]]
+                        break
+                self._try_close_loop(pairs)
 
         # Launch one windowed BA per missed cadence window: bursty row
         # consumption (the fetcher batches by round-trip time) must not
@@ -754,42 +765,43 @@ class SlamSystem:
     # Runner-up candidates are only worth a geometric check while their
     # histogram distance is in the same league as the accept gate.
     ALT_CHI2_SLACK = 1.5
-    MAX_VERIFY_PER_HIT = 4
+    MAX_VERIFY_PER_HIT = 6
     HIT_HISTORY = 24                 # hit rows kept for confirmation
     HIT_WINDOW = 32                  # max frame gap that counts as support
+    SECOND_ANCHOR_GAP = 16           # min age of the second verify anchor
 
-    def _try_close_loop(self, frame: int, cands):
-        """Dispatch candidate-vs-hit keyframe verification (device work,
-        no sync); the result is consumed asynchronously at a later poll
-        (_consume_verifications). BoW proposals are cheap and noisy —
-        geometric verification is the precision gate — so attempts must
-        not stall the camera loop either.
+    def _try_close_loop(self, pairs):
+        """Dispatch candidate-vs-anchor keyframe verifications (device
+        work, no sync); results are consumed asynchronously at a later
+        poll (_consume_verifications). BoW proposals are cheap and
+        noisy — geometric verification is the precision gate — so
+        attempts must not stall the camera loop either.
 
-        `cands` is a list of (candidate_frame, chi2), best first; each
-        distinct candidate (beyond candidate_tol of one already
-        dispatched) gets its own verification — the argmin of a noisy
-        histogram scan is routinely a few frames off the best
-        verifiable revisit, and a rejected argmin must not cost the
-        whole closure. Acceptance stays exclusive: the first verified
-        edge re-arms the window and _apply_verification drops the
-        rest."""
+        `pairs` is a list of (hit_frame, candidate_frame, chi2), best
+        first; each distinct candidate (beyond candidate_tol of one
+        already dispatched) gets its own verification against its own
+        hit-frame anchor — the argmin of a noisy histogram scan is
+        routinely a few frames off the best verifiable revisit, and a
+        rejected argmin must not cost the whole closure. Acceptance
+        stays exclusive: the first verified edge re-arms the window and
+        _apply_verification drops the rest."""
         tol = self.cfg.bow.candidate_tol
         todo = []
-        for c, v in cands:
+        for hf, c, v in pairs:
             if len(todo) >= self.MAX_VERIFY_PER_HIT:
                 break
-            if all(abs(c - c2) > tol for c2, _ in todo):
-                todo.append((c, v))
-        for c, v in todo:
+            if c >= 0 and all(abs(c - c2) > tol for _, c2, _v in todo):
+                todo.append((hf, c, v))
+        for hf, c, v in todo:
             key = jax.random.fold_in(
-                jax.random.PRNGKey(self.seed ^ 0x5a5a), frame * 7919 + c)
-            res = verify_loop_pair(key, self.state.kf, c, frame, self.cam,
+                jax.random.PRNGKey(self.seed ^ 0x5a5a), hf * 7919 + c)
+            res = verify_loop_pair(key, self.state.kf, c, hf, self.cam,
                                    self.cfg)
             # ONE packed device array per verification (a device_get of
             # k separate leaves costs ~k relay round trips; and no
             # copy_to_host_async — that is a relay-side pipeline flush,
             # see process()). The async consumer fetches it later.
-            self._verifying.append((_now(), frame, c, v,
+            self._verifying.append((_now(), hf, c, v,
                                     _pack_pair_result(res)))
         # Back off further attempts until these are consumed: a second
         # dispatch for the same (still-unconsumed) hit would duplicate

@@ -198,7 +198,7 @@ def test_single_poll_spurious_hit_does_not_fire():
     sys_._bow_trained = True
     sys_._rearm_at = 0
     calls = []
-    sys_._try_close_loop = lambda f, cands: calls.append((f, list(cands)))
+    sys_._try_close_loop = lambda pairs: calls.append(list(pairs))
 
     def fake_out(hit, cand, chi2, frame):
         z = np.int32(0)
@@ -226,7 +226,7 @@ def test_single_poll_spurious_hit_does_not_fire():
     # dispatched slate contains exactly the consistent candidate.
     push(fake_out(True, 9, borderline, 14))
     assert len(calls) == 1
-    assert [c for c, _ in calls[0][1]] == [9]
+    assert [c for _, c, _ in calls[0]] == [9]
     # A strong (near-zero chi2) single hit fires immediately even with
     # no support (history was reset by the dispatch above).
     push(fake_out(True, 50, cfg.bow.chi2_strong * 0.5, 20))
