@@ -194,7 +194,14 @@ def _cmd_ba(args):
                 print(f"warning: {dropped} observations dropped by the "
                       f"partitioner (raise obs_per_shard)", file=sys.stderr)
             st = sys_.state
-            traj = jnp.asarray(st.traj).at[frames].set(out_p.poses)
+            # Row-validity discipline (same as global_ba_step): padding
+            # rows' frames clip to 0 and would scatter onto traj[0].
+            rows_b0 = jnp.arange(bucket)
+            ok0 = ((rows_b0 < n_kf)
+                   & (jnp.asarray(st.kf.frame_of_row[:bucket]) >= 0))
+            frames_w = jnp.where(ok0, frames, st.traj.shape[0])
+            traj = jnp.asarray(st.traj).at[frames_w].set(
+                out_p.poses, mode="drop")
             # `orig` is a plain arange over n_shards*Lk rows; partitioner
             # pad rows carry indices >= map capacity and must be DROPPED
             # by the scatter, not clipped onto the last real landmark
@@ -205,9 +212,7 @@ def _cmd_ba(args):
             # Only real keyframe rows take the optimized poses (bucket
             # >= n_kf: padding rows must keep the row-validity
             # discipline used everywhere else).
-            rows_b = jnp.arange(bucket)
-            rows_w = jnp.where(rows_b < n_kf, rows_b,
-                               st.kf.poses.shape[0])
+            rows_w = jnp.where(ok0, rows_b0, st.kf.poses.shape[0])
             kf_poses = jnp.asarray(st.kf.poses).at[rows_w].set(
                 out_p.poses, mode="drop")
             sys_.state = st._replace(

@@ -263,12 +263,27 @@ def _cost(problem: BAProblem, cam, huber_delta):
     return jnp.sum(problem.w * hw * r2), r, hw
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+class BATrace(NamedTuple):
+    """Per-LM-iteration convergence diagnostics (BAConfig.lm_iters long).
+
+    `cost` is the accepted cost after each iteration (flat segments =
+    rejected LM steps); `n_obs` the observation count surviving BOTH the
+    IRLS weight and the graduated outlier cut at that iteration — the
+    two together attribute a weak reduction to a stalled LM vs an
+    outlier cut starving the problem of support vs CG non-convergence."""
+    cost: jnp.ndarray    # (lm_iters,)
+    n_obs: jnp.ndarray   # (lm_iters,) int32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "return_trace"))
 def bundle_adjust(problem: BAProblem, cam: StereoCamera,
-                  cfg: BAConfig) -> Tuple[BAProblem, jnp.ndarray]:
+                  cfg: BAConfig, return_trace: bool = False
+                  ) -> Tuple[BAProblem, jnp.ndarray]:
     """Full LM bundle adjustment. Camera 0 is gauge-fixed.
 
-    Returns (optimized problem, final cost).
+    Returns (optimized problem, final cost), plus a BATrace when
+    `return_trace` (static) — the scan collects it either way; the flag
+    only controls whether it is an output.
     """
     cost0, _, _ = _cost(problem, cam, cfg.huber_delta)
 
@@ -305,14 +320,18 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         lam = jnp.where(accept, lam / cfg.lm_lambda_down,
                         lam * cfg.lm_lambda_up)
         lam = jnp.clip(lam, 1e-9, 1e6)
-        return (poses, points, lam, cost), cost
+        n_surv = jnp.sum((w > 0).astype(jnp.int32))
+        return (poses, points, lam, cost), (cost, n_surv)
 
-    (poses, points, _, cost), _ = jax.lax.scan(
+    (poses, points, _, cost), (costs, n_obs) = jax.lax.scan(
         lm_step,
         (problem.poses, problem.points,
          jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
         jnp.arange(cfg.lm_iters))
-    return problem._replace(poses=poses, points=points), cost
+    out = problem._replace(poses=poses, points=points)
+    if return_trace:
+        return out, cost, BATrace(cost=costs, n_obs=n_obs)
+    return out, cost
 
 
 def window_problem(poses, points, cam_idx, lm_idx, uv, w,

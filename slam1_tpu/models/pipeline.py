@@ -117,11 +117,18 @@ class StepOutput(NamedTuple):
                                   # candidates, best-first
 
 
+ALT_CAND_BASE = 10          # first runner-up (cand, chi2) pair in a row
+
+
 def _unpack_row(row) -> StepOutput:
-    """(14,) float32 packed metrics row -> host StepOutput."""
+    """(ROW_W,) float32 packed metrics row -> host StepOutput.
+
+    Layout (must mirror _step_core's out_row stack): indices 0..9 are
+    the scalar metrics; ALT_CAND_BASE..ROW_W-1 hold (cand, chi2) pairs
+    of runner-up loop candidates."""
     r = np.asarray(row)
     alts = tuple((int(r[k]), float(r[k + 1]))
-                 for k in range(10, len(r) - 1, 2) if r[k] >= 0)
+                 for k in range(ALT_CAND_BASE, ROW_W - 1, 2) if r[k] >= 0)
     return StepOutput(
         loop_hit=bool(r[0] > 0.5), loop_candidate=int(r[1]),
         loop_chi2=float(r[2]), is_kf=bool(r[3] > 0.5), kf_n=int(r[4]),
@@ -429,15 +436,24 @@ def build_global_problem(state: SlamState, n_kf: int,
                         ur=ur, wr=wr), frames
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_kf", "obs_bucket"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_kf", "obs_bucket",
+                                    "return_trace"))
 def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
-                   n_kf: int, obs_bucket: int = 0):
+                   n_kf: int, obs_bucket: int = 0,
+                   return_trace: bool = False):
     """Global BA over the first n_kf keyframes; returns updated state.
     `obs_bucket`: static compacted observation count (see
     build_global_problem) — callers pick the smallest bucket covering
-    int(sum(map.obs_count[:n_kf]))."""
+    int(sum(map.obs_count[:n_kf])). `return_trace` additionally returns
+    the per-LM-iteration BATrace (convergence diagnostics)."""
     prob, frames = build_global_problem(state, n_kf, obs_bucket)
-    out, cost = bundle_adjust(prob, cam, cfg.ba)
+    trace = None
+    if return_trace:
+        out, cost, trace = bundle_adjust(prob, cam, cfg.ba,
+                                         return_trace=True)
+    else:
+        out, cost = bundle_adjust(prob, cam, cfg.ba)
     # Row-validity discipline: only REAL keyframe rows write back
     # (n_kf is a bucket >= kf.n; padding rows' frames clip to 0 and
     # would otherwise scatter onto traj[0]).
@@ -448,9 +464,12 @@ def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
     rows_w = jnp.where(ok, rows, state.kf.poses.shape[0])
     kf_poses = state.kf.poses.at[rows_w].set(out.poses, mode="drop")
     t_w = traj[jnp.clip(state.frame, 0, traj.shape[0] - 1)]
-    return state._replace(
+    new_state = state._replace(
         traj=traj, kf=state.kf._replace(poses=kf_poses),
-        map=state.map._replace(xyz=out.points), T_w_cam=t_w), cost
+        map=state.map._replace(xyz=out.points), T_w_cam=t_w)
+    if return_trace:
+        return new_state, cost, trace
+    return new_state, cost
 
 
 @functools.partial(jax.jit, static_argnames=("bucket", "iters", "cg_iters"))
@@ -580,6 +599,8 @@ class SlamSystem:
             self.frame_count = 0
             return None
 
+        if (self.frame_count - self._last_drained) + 1 > ROW_RING:
+            self._poll(force=True)       # never let the ring wrap
         self.state, out_row, _ = slam_step(self.state, left, right,
                                            self.cam, cfg)
         # NOTE: deliberately NO per-frame copy_to_host_async / handle
@@ -599,9 +620,18 @@ class SlamSystem:
         process() first. Host-side cadences (BoW training, polls,
         checkpoints) land on block boundaries."""
         assert self.state is not None, "bootstrap with process() first"
+        k = int(lefts.shape[0])
+        assert k <= ROW_RING, (
+            f"block of {k} frames exceeds the {ROW_RING}-row metrics "
+            f"ring; split the block")
+        # Never let the ring wrap: rows carry loop-closure trigger bits,
+        # so overflow loses closures, not just telemetry. Drain BEFORE
+        # dispatching the block that would overwrite undrained rows.
+        if (self.frame_count - self._last_drained) + k > ROW_RING:
+            self._poll(force=True)
         self.state, _ = slam_step_block(self.state, lefts, rights,
                                         self.cam, self.cfg)
-        self._after_frames(int(lefts.shape[0]))
+        self._after_frames(k)
 
     def _crossed(self, every: int, k: int) -> bool:
         return every > 0 and (self.frame_count // every
@@ -786,29 +816,95 @@ class SlamSystem:
         stays exclusive: the first verified edge re-arms the window and
         _apply_verification drops the rest."""
         tol = self.cfg.bow.candidate_tol
+        # Per-candidate-window suppression (NOT a blanket history clear):
+        # a candidate is skipped only while a verification for the same
+        # physical revisit is STILL IN FLIGHT — same candidate window,
+        # or the progression-advanced image of one (a revisit's BoW
+        # candidate advances with the camera, so the "same" revisit
+        # re-surfaces at c' ~ c + gap a drain later). Once the earlier
+        # verification is consumed the window re-opens: a later hit
+        # pairs the candidate with a DIFFERENT (newer) anchor keyframe,
+        # which is a genuinely new geometric test, and unrelated
+        # revisits in the next drain keep their support evidence either
+        # way. (r4's blanket `_hit_history = []` back-off cost recall at
+        # 2000-frame scale; a time-windowed suppression of the candidate
+        # region cost the genuine end-of-lap closure on the 36-frame
+        # test clip — in-flight-keyed suppression does neither.)
+        inflight = [(phf, pc) for _t, phf, pc, _v, _p, _d
+                    in self._verifying]
+        if self._verify_inflight is not None:
+            _fut, vf, vc, _v, _d = self._verify_inflight
+            inflight.append((vf, vc))
+
+        def _suppressed(hf, c):
+            for phf, pc in inflight:
+                gap = hf - phf
+                if gap < 0:
+                    continue
+                if min(abs(c - pc), abs(c - pc - gap),
+                       abs(c - pc + gap)) <= tol:
+                    return True
+            return False
+
         todo = []
         for hf, c, v in pairs:
             if len(todo) >= self.MAX_VERIFY_PER_HIT:
                 break
-            if c >= 0 and all(abs(c - c2) > tol for _, c2, _v in todo):
+            if (c >= 0 and all(abs(c - c2) > tol for _, c2, _v in todo)
+                    and not _suppressed(hf, c)):
                 todo.append((hf, c, v))
         for hf, c, v in todo:
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(self.seed ^ 0x5a5a), hf * 7919 + c)
-            res = verify_loop_pair(key, self.state.kf, c, hf, self.cam,
-                                   self.cfg)
-            # ONE packed device array per verification (a device_get of
-            # k separate leaves costs ~k relay round trips; and no
-            # copy_to_host_async — that is a relay-side pipeline flush,
-            # see process()). The async consumer fetches it later.
-            self._verifying.append((_now(), hf, c, v,
-                                    _pack_pair_result(res)))
-        # Back off further attempts until these are consumed: a second
-        # dispatch for the same (still-unconsumed) hit would duplicate
-        # work and, on acceptance, duplicate the edge.
-        self._hit_history = []
+            self._dispatch_verify(hf, c, v, depth=0)
+        # The hit history is kept — clearing it wholesale (the r4
+        # design) also discarded the support evidence of a DIFFERENT
+        # genuine revisit arriving in the next drain, costing recall at
+        # 2000-frame scale where multiple revisit windows are
+        # concurrently open.
 
-    def _apply_verification(self, frame, cand, chi2, fetched):
+    def _dispatch_verify(self, hf, c, v, depth=0, salt=0):
+        """Dispatch one candidate-vs-anchor verification (device work,
+        no sync); the async consumer fetches the packed result later.
+        ONE packed device array per verification (a device_get of k
+        separate leaves costs ~k relay round trips; and no
+        copy_to_host_async — that is a relay-side pipeline flush)."""
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed ^ 0x5a5a),
+            hf * 7919 + c * 31 + salt)
+        res = verify_loop_pair(key, self.state.kf, c, hf, self.cam,
+                               self.cfg)
+        self._verifying.append((_now(), hf, c, v,
+                                _pack_pair_result(res), depth))
+
+    def _retry_near_miss(self, frame, cand, chi2, a_frame):
+        """A near-miss verification (inliers just under the accept gate)
+        is usually a genuine revisit seen through a slightly-off
+        (candidate, anchor) pairing: the BoW argmin is routinely a
+        keyframe or two off the best-overlapping frame, and the
+        1024-hypothesis RANSAC itself flips on the PRNG key for
+        marginal pairs. Before rejecting the revisit, retry the
+        adjacent candidate keyframes against the same anchor, the same
+        candidate against the PRECEDING anchor keyframe, and the
+        original pair under a fresh key. Depth-1 retries never retry
+        again. Observed at 2000-frame scale: genuine revisits die at
+        6-14 inliers vs min_loop_inliers=15 while spurious candidates
+        sit at 2-4 — the retry band recovers the former without
+        admitting the latter."""
+        ke = max(self.cfg.mapping.keyframe_every, 1)
+        slate = [
+            (frame, cand, 1),            # same pair, fresh RANSAC key
+            (frame, cand - ke, 0),       # adjacent candidate keyframes
+            (frame, cand + ke, 0),
+        ]
+        if a_frame > 0:
+            slate.append((a_frame - 1, cand, 0))   # preceding anchor kf
+        for hf, c, salt in slate:
+            if c < 0:
+                continue
+            self._dispatch_verify(hf, c, chi2, depth=1, salt=salt)
+
+    NEAR_MISS_MIN = 7
+
+    def _apply_verification(self, frame, cand, chi2, fetched, depth=0):
         packed = np.asarray(fetched)
         T_ac = packed[:16].reshape(4, 4)
         a_frame = int(packed[16])
@@ -818,6 +914,9 @@ class SlamSystem:
             frame=frame, candidate=cand, chi2=chi2,
             num_inliers=int(n_inl), accepted=ok))
         if not ok:
+            if (depth == 0 and n_inl >= self.NEAR_MISS_MIN
+                    and frame >= self._rearm_at):
+                self._retry_near_miss(frame, cand, chi2, a_frame)
             return
         if frame < self._rearm_at:
             return                        # a just-accepted loop covers this
@@ -831,24 +930,29 @@ class SlamSystem:
 
     def _consume_verifications(self, force=False):
         if not self._async:
-            for _, frame, cand, chi2, packed in self._verifying:
-                self._apply_verification(frame, cand, chi2,
-                                         jax.device_get(packed))
-            self._verifying = []
+            # Retries dispatched by _apply_verification extend
+            # _verifying mid-iteration — drain until empty.
+            while self._verifying:
+                pending, self._verifying = self._verifying, []
+                for _, frame, cand, chi2, packed, depth in pending:
+                    self._apply_verification(frame, cand, chi2,
+                                             jax.device_get(packed),
+                                             depth=depth)
             return
         while True:
             vi = self._verify_inflight
             if vi is not None:
-                fut, frame, cand, chi2 = vi
+                fut, frame, cand, chi2, depth = vi
                 if not (force or fut.done()):
                     return
                 self._verify_inflight = None
-                self._apply_verification(frame, cand, chi2, fut.result())
+                self._apply_verification(frame, cand, chi2, fut.result(),
+                                         depth=depth)
             if not self._verifying:
                 return
-            _, frame, cand, chi2, packed = self._verifying.pop(0)
+            _, frame, cand, chi2, packed, depth = self._verifying.pop(0)
             fut = self._pool.submit(jax.device_get, packed)
-            self._verify_inflight = (fut, frame, cand, chi2)
+            self._verify_inflight = (fut, frame, cand, chi2, depth)
             if not force:
                 return
 

@@ -4,10 +4,26 @@ Runs the FULL pipeline over a >=2000-frame synthetic sequence with
 keyframe_every=2 (>=1000 keyframes — the scale the reference's backend
 assumed, /root/reference/BundleAdjustment.py:17: 1100 frames), then one
 global bundle adjustment over ALL keyframes at the >=1024 row bucket,
-and records keyframes, observation count, wall time, cost before/after
-and keyframe-ATE before/after into BENCH_GLOBAL.json.
+and records keyframes, observation count, wall time, cost before/after,
+the per-LM-iteration convergence trace, and keyframe-ATE before/after
+into BENCH_GLOBAL.json.
 
-Usage: python tools/global_ba_scale.py [--frames 2000] [--out BENCH_GLOBAL.json]
+Timing attribution: the synthetic renderer runs INTERLEAVED with the
+pipeline (a full 2000-frame stack is ~7.7 GB — beyond what the
+remote-TPU relay tolerates as resident buffers), but every render chunk
+is individually synced and its wall time accumulated separately, so
+`pipeline_fps` counts pipeline work only and `render_wall_s` is its own
+line (r4's 10.6 "pipeline_fps" buried the renderer inside the pipeline
+number and read as a 10x scale collapse).
+
+DATA CAVEAT: synthetic clip with exact ground truth (no KITTI data in
+this environment); ATE figures are synthetic-clip figures.
+
+Usage:
+  python tools/global_ba_scale.py [--frames 2000] [--out BENCH_GLOBAL.json]
+      [--ckpt PATH]        save a post-run checkpoint (backend iteration)
+      [--from-ckpt PATH]   skip the pipeline; load PATH and run the
+                           backend stages only
 (cwd must be /root/repo for the axon TPU plugin; runs on whatever
 jax.default_backend() is.)
 """
@@ -27,47 +43,46 @@ sys.path.insert(0, _REPO)
 import numpy as np
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=2000)
-    ap.add_argument("--out", type=str,
-                    default=os.path.join(_REPO, "BENCH_GLOBAL.json"))
-    args = ap.parse_args()
+def scale_config():
+    from slam1_tpu.config import SlamConfig
+    cfg = SlamConfig()
+    return dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, keyframe_every=2))
 
+
+def make_scale_world(n):
+    import jax
+    from slam1_tpu.utils.synthetic import make_world
+    return make_world(jax.random.PRNGKey(5), n_frames=n,
+                      n_points=15 * n, trajectory="loop2", speed=1.0)
+
+
+def run_pipeline(n, cfg, world, ckpt_path=None):
+    """Feed the full clip; returns (system, timing dict)."""
     import jax
     import jax.numpy as jnp
 
-    from slam1_tpu.config import SlamConfig
     from slam1_tpu.models import pipeline
-    from slam1_tpu.models.ba import _cost
-    from slam1_tpu.utils.evalmetrics import ate_rmse
-    from slam1_tpu.utils.synthetic import make_world, render_frame
+    from slam1_tpu.utils.synthetic import render_frame
 
-    n = args.frames
-    cfg = SlamConfig()
-    cfg = dataclasses.replace(
-        cfg, mapping=dataclasses.replace(cfg.mapping, keyframe_every=2))
-
-    world = make_world(jax.random.PRNGKey(5), n_frames=n,
-                       n_points=15 * n, trajectory="loop2", speed=1.0)
     h, w = cfg.image.height, cfg.image.width
-
-    # Stream frames: render on device in chunks (a full (N,H,W) x2 stack
-    # at N=2000 is ~7.7 GB — most of a v5e chip's HBM, and GB-scale
-    # single buffers crash the remote-TPU relay), feed 32-frame BLOCKS
-    # (one dispatched program each; see models/pipeline.slam_step_block).
     chunk = 64
     blk = 32
     sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=30)
+    render_s = 0.0
     t_run0 = time.perf_counter()
     t_half = None
+    half_render_s = 0.0
     n_half = 0
     done = 0
     while done < n:
         hi = min(done + chunk, n)
         idx = jnp.arange(done, hi)
+        t_r = time.perf_counter()
         L, R = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
                            batch_size=8)
+        _ = np.asarray(L[-1, 0, :1])        # real sync (relay: fetch)
+        render_s += time.perf_counter() - t_r
         k0 = 0
         if done == 0:
             sys_.process(L[0], R[0])
@@ -80,32 +95,70 @@ def main() -> int:
         if t_half is None and done >= n // 2:
             _ = np.asarray(sys_.state.T_w_cam)      # real sync
             t_half = time.perf_counter()
+            half_render_s = render_s
             n_half = done
         if done % 512 == 0:
             print(f"  {done}/{n} frames", file=sys.stderr)
     _ = np.asarray(sys_.state.T_w_cam)              # real sync
     t_end = time.perf_counter()
-    poses = sys_.finalize()
     run_wall = t_end - t_run0
-    fps = (n - 1) / run_wall                         # incl. all compiles
-    # steady-state fps: the second half, every jit warm (incl. per-chunk
-    # rendering — this is the live-system figure)
-    fps_steady = (n - n_half) / (t_end - t_half) if t_half else fps
+    pipe_wall = run_wall - render_s
+    fps = (n - 1) / pipe_wall                        # incl. all compiles
+    # steady-state fps: second half, every jit warm, renderer excluded
+    if t_half:
+        fps_steady = (n - n_half) / ((t_end - t_half)
+                                     - (render_s - half_render_s))
+    else:
+        fps_steady = fps
+    timing = {
+        "pipeline_wall_s": round(pipe_wall, 2),
+        "render_wall_s": round(render_s, 2),
+        "pipeline_fps": round(fps, 2),
+        "pipeline_fps_steady": round(fps_steady, 2),
+    }
+    if ckpt_path:
+        sys_.save_checkpoint(ckpt_path)
+        print(f"  checkpoint -> {ckpt_path}", file=sys.stderr)
+    return sys_, timing
+
+
+def backend_stages(sys_, world, cfg, n):
+    """finalize (full-strength PGO over all accepted edges) -> global BA
+    with convergence trace. Returns the result dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam1_tpu.models import pipeline
+    from slam1_tpu.models.ba import _cost
+    from slam1_tpu.utils.evalmetrics import ate_rmse
+
+    gt = np.asarray(world.poses)
+
+    st = sys_.state
+    n_kf = int(st.kf.n)
+    kf_frames = np.asarray(st.kf.frame_of_row[:n_kf])
+
+    def kf_ate(state):
+        return float(ate_rmse(np.asarray(state.traj)[kf_frames],
+                              gt[kf_frames], align=False))
+
+    ate_vo = kf_ate(st)                   # before final PGO
+    # finalize: drain trailing rows/verifications, then full-strength
+    # PGO over ALL accepted loop edges — the trajectory must be pulled
+    # globally consistent BEFORE local linearization (global BA) can
+    # help (r4 lesson: BA on a 25 m-drifted trajectory with ~90 px mean
+    # residuals cannot fix it).
+    sys_.finalize()
+    st = sys_.state
+    ate_pgo = kf_ate(st)
+
     for e in sys_.loop_events:
         print(f"  loop event f={e.frame} cand={e.candidate} "
               f"inl={e.num_inliers} acc={e.accepted}", file=sys.stderr)
 
-    st = sys_.state
-    n_kf = int(st.kf.n)
     bucket = next((b for b in (128, 512, 1024, 2048, 8192) if b >= n_kf),
                   n_kf)
     bucket = min(bucket, st.kf.xyz.shape[0])
-
-    # Keyframe ATE before global BA.
-    kf_frames = np.asarray(st.kf.frame_of_row[:n_kf])
-    gt = np.asarray(world.poses)
-    ate_before = float(ate_rmse(np.asarray(st.traj)[kf_frames],
-                                gt[kf_frames], align=False))
 
     # Static compacted observation bucket: the raw slot layout is ~90%
     # padding and every linearization/CG matvec pays for it.
@@ -116,22 +169,21 @@ def main() -> int:
     cost_before = float(_cost(prob, world.cam, cfg.ba.huber_delta)[0])
 
     # Warm compile (excluded from the timed solve), then timed run.
-    st_warm, cost = pipeline.global_ba_step(st, world.cam, cfg,
-                                            n_kf=bucket,
-                                            obs_bucket=obs_bucket)
-    _ = np.asarray(st_warm.traj[0])
+    warm = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket,
+                                   obs_bucket=obs_bucket,
+                                   return_trace=True)
+    _ = np.asarray(warm[0].traj[0])
     t0 = time.perf_counter()
-    st2, cost = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket,
-                                        obs_bucket=obs_bucket)
+    st2, cost, trace = pipeline.global_ba_step(
+        st, world.cam, cfg, n_kf=bucket, obs_bucket=obs_bucket,
+        return_trace=True)
     _ = np.asarray(st2.traj[0])                       # real sync
     ba_wall = time.perf_counter() - t0
 
-    ate_after = float(ate_rmse(np.asarray(st2.traj)[kf_frames],
-                               gt[kf_frames], align=False))
-    out = {
-        "frames": n,
-        "pipeline_fps": round(fps, 2),
-        "pipeline_fps_steady": round(fps_steady, 2),
+    ate_after = kf_ate(st2)
+    n_acc = sum(1 for e in sys_.loop_events if e.accepted)
+    n_rej = sum(1 for e in sys_.loop_events if not e.accepted)
+    return {
         "keyframes": n_kf,
         "bucket": bucket,
         "global_ba_observations": n_obs,
@@ -140,11 +192,52 @@ def main() -> int:
         "cg_iters": cfg.ba.cg_iters,
         "cost_before": round(cost_before, 2),
         "cost_after": round(float(cost), 2),
-        "kf_ate_before_m": round(ate_before, 4),
+        # Convergence trace (VERDICT r4 #2): accepted cost after each LM
+        # iteration + observations surviving the IRLS/GNC cut — a weak
+        # reduction is attributable (stalled LM vs cut starvation vs CG).
+        "ba_cost_trace": [round(float(c), 1) for c in
+                          np.asarray(trace.cost)],
+        "ba_obs_surviving": [int(v) for v in np.asarray(trace.n_obs)],
+        "kf_ate_vo_m": round(ate_vo, 4),
+        "kf_ate_before_m": round(ate_pgo, 4),
         "kf_ate_after_m": round(ate_after, 4),
         "loop_closures": len(sys_.loop_edges),
-        "backend": jax.default_backend(),
+        "loop_rejected": n_rej,
+        "loop_accepted_events": n_acc,
     }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(_REPO, "BENCH_GLOBAL.json"))
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="save a post-run checkpoint here")
+    ap.add_argument("--from-ckpt", type=str, default=None,
+                    help="skip the pipeline; load this checkpoint")
+    args = ap.parse_args()
+
+    import jax
+
+    from slam1_tpu.models import pipeline
+
+    n = args.frames
+    cfg = scale_config()
+    world = make_scale_world(n)
+
+    if args.from_ckpt:
+        sys_ = pipeline.SlamSystem.resume(args.from_ckpt, world.cam, cfg)
+        timing = {}
+        if sys_.frame_count != n - 1:
+            print(f"  note: checkpoint holds {sys_.frame_count + 1} "
+                  f"frames, --frames {n}", file=sys.stderr)
+    else:
+        sys_, timing = run_pipeline(n, cfg, world, ckpt_path=args.ckpt)
+
+    out = {"frames": n, "data": f"synthetic-loop2-{n}", **timing,
+           **backend_stages(sys_, world, cfg, n),
+           "backend": jax.default_backend()}
     json.dump(out, open(args.out, "w"), indent=1)
     print(json.dumps(out))
     return 0
