@@ -96,7 +96,7 @@ def measure_slam(cfg, n_frames=SLAM_FRAMES):
     for s in range(0, n_frames, ch):
         idx = jnp.arange(s, min(s + ch, n_frames))
         l, r = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
-                           batch_size=8)
+                           batch_size=4)
         jax.block_until_ready(l)
         chunks.append((l, r))
 

@@ -101,6 +101,10 @@ class TrackingConfig:
     gn_iters_polish: int = 10       # GN iterations on inlier set
     min_track_points: int = 8       # fall back to previous motion below this
     huber_delta: float = 2.0        # robust loss scale in polish, px
+    # Prediction-gated temporal matching: only features within this
+    # radius of a prev point's constant-velocity-predicted projection
+    # may match it (hamming.match_windowed). 0 disables (global match).
+    gate_radius_px: float = 48.0
     # Close/far point weighting. The reference computes close/far masks
     # and then ignores them (sort_3D_points, main.py:92 — SURVEY C8);
     # here far points can be down-weighted in the PnP polish (far points

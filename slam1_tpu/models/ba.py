@@ -284,23 +284,48 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
     Returns (optimized problem, final cost), plus a BATrace when
     `return_trace` (static) — the scan collects it either way; the flag
     only controls whether it is an output.
+
+    LM acceptance is judged on the SAME objective the step was computed
+    for: the TRUNCATED robust cost at the iteration's graduated cut,
+    sum_i w_i * min(huber(r_i), huber(cut)). Judging acceptance on the
+    full Huber cost while stepping on the truncated objective (the r4
+    design) deadlocks at high residual levels — at config-4 scale
+    (mean residual ~100 px against a 16-128 px cut) every step improved
+    the truncated objective, worsened some far-outlier residuals, and
+    was rejected: 15 iterations, zero accepted steps, flat cost trace.
+    The truncation must SATURATE (excluded observations contribute the
+    constant cap), not vanish: pricing candidates over a frozen active
+    set lets a step push excluded residuals arbitrarily worse for free
+    and measurably degrades clean problems. The reported cost/trace
+    stays the FULL Huber cost so traces are comparable across
+    iterations and runs.
     """
-    cost0, _, _ = _cost(problem, cam, cfg.huber_delta)
+
+    def trunc_cost(hw, r2, cap):
+        contrib = hw * r2                      # huber(r): r2 or delta*r
+        return jnp.sum(problem.w * jnp.minimum(contrib, cap))
 
     def lm_step(carry, t):
-        poses, points, lam, cost = carry
+        poses, points, lam = carry
         p = problem._replace(poses=poses, points=points)
-        _, r, hw = _cost(p, cam, cfg.huber_delta)
+        full_cur, r, hw = _cost(p, cam, cfg.huber_delta)
         w = problem.w * hw
+        r2 = jnp.sum(r * r, axis=-1)
         if cfg.outlier_px:
-            # Graduated hard rejection (GNC-style truncated loss): the
-            # cut starts 8x loose so a poor initial guess isn't starved
-            # of support, and tightens to outlier_px over iterations
-            # (see BAConfig.outlier_px).
+            # Graduated rejection (GNC-style truncated loss): the cut
+            # starts 8x loose so a poor initial guess isn't starved of
+            # support, and tightens to outlier_px over iterations (see
+            # BAConfig.outlier_px). The STEP zero-weights observations
+            # beyond the cut; the OBJECTIVE saturates them at the cap.
             cut = cfg.outlier_px * jnp.maximum(
                 1.0, 8.0 * 0.5 ** t.astype(r.dtype))
-            r2 = jnp.sum(r * r, axis=-1)
-            w = w * (r2 < cut * cut)
+            active = (r2 < cut * cut).astype(r.dtype)
+            w = w * active
+            cap = huber_weights(cut * cut, cfg.huber_delta) * cut * cut
+        else:
+            active = jnp.ones_like(r2)
+            cap = jnp.asarray(jnp.inf, r.dtype)
+        cost_cur = trunc_cost(hw, r2, cap)
         r_, Jc, Jl, w_ = _linearize(p, cam, w)
         if problem.poses.shape[0] <= 16:
             dc, dl = _schur_solve_direct(p, r_, Jc, Jl, w_, lam)
@@ -310,24 +335,28 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
         new_poses = poses @ se3.exp_se3(dc)
         new_points = points + dl
-        new_cost, _, _ = _cost(
+        full_new, r_new, hw_new = _cost(
             problem._replace(poses=new_poses, points=new_points), cam,
             cfg.huber_delta)
-        accept = new_cost < cost
+        r2_new = jnp.sum(r_new * r_new, axis=-1)
+        cost_new = trunc_cost(hw_new, r2_new, cap)
+        accept = cost_new < cost_cur
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
-        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, lam / cfg.lm_lambda_down,
                         lam * cfg.lm_lambda_up)
         lam = jnp.clip(lam, 1e-9, 1e6)
         n_surv = jnp.sum((w > 0).astype(jnp.int32))
-        return (poses, points, lam, cost), (cost, n_surv)
+        full = jnp.where(accept, full_new, full_cur)
+        return (poses, points, lam), (full, n_surv)
 
-    (poses, points, _, cost), (costs, n_obs) = jax.lax.scan(
+    (poses, points, _), (costs, n_obs) = jax.lax.scan(
         lm_step,
         (problem.poses, problem.points,
-         jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
+         jnp.asarray(cfg.lm_lambda0, problem.uv.dtype)),
         jnp.arange(cfg.lm_iters))
+    cost, _, _ = _cost(problem._replace(poses=poses, points=points),
+                       cam, cfg.huber_delta)
     out = problem._replace(poses=poses, points=points)
     if return_trace:
         return out, cost, BATrace(cost=costs, n_obs=n_obs)

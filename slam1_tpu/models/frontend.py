@@ -38,19 +38,24 @@ def stereo_frontend(left, right, cam: StereoCamera,
     feats_l = jax.tree.map(lambda a: a[0], feats2)
     feats_r = jax.tree.map(lambda a: a[1], feats2)
 
-    m = hamming.match(feats_l.desc, feats_r.desc, feats_l.mask, feats_r.mask,
-                      ratio=cfg.matcher.ratio,
-                      max_distance=cfg.matcher.max_hamming,
-                      cross_check=cfg.matcher.cross_check)
+    # Epipolar-band-constrained matching: the band is applied to the
+    # distance matrix BEFORE best/second-best selection, so the Lowe
+    # ratio compares against geometrically-plausible rivals only (see
+    # hamming.match_epipolar — post-hoc gating of a global match loses
+    # most true stereo pairs on self-similar imagery).
+    m = hamming.match_epipolar(
+        feats_l.desc, feats_r.desc, feats_l.xy, feats_r.xy,
+        feats_l.mask, feats_r.mask,
+        ratio=cfg.matcher.ratio,
+        max_distance=cfg.matcher.max_hamming,
+        dy_tol=cfg.matcher.epipolar_dy,
+        min_disparity=cfg.matcher.min_disparity,
+        max_disparity=cfg.matcher.max_disparity,
+        cross_check=cfg.matcher.cross_check)
 
     uv_l = feats_l.xy
     uv_r = feats_r.xy[m.idx]
-    dy = jnp.abs(uv_l[:, 1] - uv_r[:, 1])
-    disp = uv_l[:, 0] - uv_r[:, 0]
-    epi_ok = ((dy <= cfg.matcher.epipolar_dy)
-              & (disp >= cfg.matcher.min_disparity)
-              & (disp <= cfg.matcher.max_disparity))
-    valid = m.mask & epi_ok
+    valid = m.mask
 
     xyz, tri_ok = triangulate.stereo_rectified(
         cam, uv_l, uv_r, min_disparity=cfg.matcher.min_disparity)

@@ -96,3 +96,24 @@ def verify_loop_pair(key, store: KeyframeStore, cand_frame, hit_frame,
           & (pnp.num_inliers >= cfg.bow.min_loop_inliers))
     return LoopPairResult(T_anchor_cand=pnp.T, anchor_frame=a_frame,
                           num_inliers=pnp.num_inliers, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def verify_loop_slate(keys, store: KeyframeStore, cand_frames,
+                      hit_frames, cam: StereoCamera,
+                      cfg: SlamConfig) -> LoopPairResult:
+    """Batched loop verification: a whole (K,) slate of candidate/anchor
+    pairs in ONE dispatched program (vmap of verify_loop_pair).
+
+    Through a remote-TPU relay every dispatched program costs ~12 ms
+    regardless of content, and every separate result fetch is another
+    round trip — dispatching a hit's 4-8 candidate verifications as
+    individual programs (the r4 design) serializes into ~100 ms of pure
+    overhead per hit and starves the one-per-poll async consumer at
+    2000-frame scale. One vmapped program + one packed (K,19) fetch
+    amortizes both. Entries with cand_frame < 0 are padding
+    (ok=False). Returns a LoopPairResult with a leading (K,) axis."""
+    return jax.vmap(
+        lambda k, c, h: verify_loop_pair(k, store, c, h, cam, cfg),
+        in_axes=(0, 0, 0))(keys, jnp.asarray(cand_frames, jnp.int32),
+                           jnp.asarray(hit_frames, jnp.int32))

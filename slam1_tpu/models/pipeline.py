@@ -51,7 +51,7 @@ from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
 from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
-from slam1_tpu.models.loop_closure import verify_loop_pair
+from slam1_tpu.models.loop_closure import verify_loop_slate
 from slam1_tpu.models.tracker import chain_pose, temporal_track
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
@@ -513,15 +513,17 @@ def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
 
 
 @jax.jit
-def _pack_pair_result(res) -> jnp.ndarray:
-    """LoopPairResult -> one (19,) array [T.flat, anchor, inliers, ok]
-    so the host fetches a verification with ONE transfer."""
+def _pack_slate_result(res) -> jnp.ndarray:
+    """Batched LoopPairResult (leading (K,) axis) -> one (K,19) array
+    [T.flat, anchor, inliers, ok] per row, so the host fetches a whole
+    verification slate with ONE transfer."""
     f32 = res.T_anchor_cand.dtype
+    k = res.ok.shape[0]
     return jnp.concatenate([
-        res.T_anchor_cand.reshape(-1),
+        res.T_anchor_cand.reshape(k, 16),
         jnp.stack([res.anchor_frame.astype(f32),
                    res.num_inliers.astype(f32),
-                   res.ok.astype(f32)])])
+                   res.ok.astype(f32)], axis=-1)], axis=-1)
 
 
 @dataclasses.dataclass
@@ -714,7 +716,12 @@ class SlamSystem:
             self._hit_history.append((hf, cands))
             newest = (hf, cands)
         del self._hit_history[:-self.HIT_HISTORY]
-        if self._bow_trained and newest and newest[0] >= self._rearm_at:
+        # NOTE: no global post-closure re-arm gate here — per-window
+        # suppression lives in _try_close_loop (_edge_is_dup covers a
+        # CLOSED window forever; in-flight suppression covers a window
+        # under verification), so a different genuine revisit right
+        # after a closure is still dispatched.
+        if self._bow_trained and newest:
             # Progression-consistent confirmation: a genuine revisit's
             # BoW candidate ADVANCES with the camera — between two hit
             # rows `gap` frames apart, candidate indices must differ by
@@ -814,7 +821,7 @@ class SlamSystem:
         routinely a few frames off the best verifiable revisit, and a
         rejected argmin must not cost the whole closure. Acceptance
         stays exclusive: the first verified edge re-arms the window and
-        _apply_verification drops the rest."""
+        _apply_slate drops the rest."""
         tol = self.cfg.bow.candidate_tol
         # Per-candidate-window suppression (NOT a blanket history clear):
         # a candidate is skipped only while a verification for the same
@@ -830,13 +837,16 @@ class SlamSystem:
         # 2000-frame scale; a time-windowed suppression of the candidate
         # region cost the genuine end-of-lap closure on the 36-frame
         # test clip — in-flight-keyed suppression does neither.)
-        inflight = [(phf, pc) for _t, phf, pc, _v, _p, _d
-                    in self._verifying]
+        inflight = [(phf, pc) for _t, rows, _p, _d in self._verifying
+                    for phf, pc, _v in rows]
         if self._verify_inflight is not None:
-            _fut, vf, vc, _v, _d = self._verify_inflight
-            inflight.append((vf, vc))
+            _fut, vrows, _d = self._verify_inflight
+            inflight += [(vf, vc) for vf, vc, _v in vrows]
 
         def _suppressed(hf, c):
+            if self._edge_is_dup(c, hf):
+                return True              # window already closed: an edge
+                                         # within EDGE_DEDUP_W exists
             for phf, pc in inflight:
                 gap = hf - phf
                 if gap < 0:
@@ -853,106 +863,140 @@ class SlamSystem:
             if (c >= 0 and all(abs(c - c2) > tol for _, c2, _v in todo)
                     and not _suppressed(hf, c)):
                 todo.append((hf, c, v))
-        for hf, c, v in todo:
-            self._dispatch_verify(hf, c, v, depth=0)
+        if todo:
+            self._dispatch_slate(todo, depth=0)
         # The hit history is kept — clearing it wholesale (the r4
         # design) also discarded the support evidence of a DIFFERENT
         # genuine revisit arriving in the next drain, costing recall at
         # 2000-frame scale where multiple revisit windows are
         # concurrently open.
 
-    def _dispatch_verify(self, hf, c, v, depth=0, salt=0):
-        """Dispatch one candidate-vs-anchor verification (device work,
-        no sync); the async consumer fetches the packed result later.
-        ONE packed device array per verification (a device_get of k
-        separate leaves costs ~k relay round trips; and no
-        copy_to_host_async — that is a relay-side pipeline flush)."""
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed ^ 0x5a5a),
-            hf * 7919 + c * 31 + salt)
-        res = verify_loop_pair(key, self.state.kf, c, hf, self.cam,
-                               self.cfg)
-        self._verifying.append((_now(), hf, c, v,
-                                _pack_pair_result(res), depth))
+    SLATE_K = 8                          # static slate width (padded)
 
-    def _retry_near_miss(self, frame, cand, chi2, a_frame):
-        """A near-miss verification (inliers just under the accept gate)
-        is usually a genuine revisit seen through a slightly-off
-        (candidate, anchor) pairing: the BoW argmin is routinely a
-        keyframe or two off the best-overlapping frame, and the
-        1024-hypothesis RANSAC itself flips on the PRNG key for
-        marginal pairs. Before rejecting the revisit, retry the
-        adjacent candidate keyframes against the same anchor, the same
-        candidate against the PRECEDING anchor keyframe, and the
-        original pair under a fresh key. Depth-1 retries never retry
-        again. Observed at 2000-frame scale: genuine revisits die at
-        6-14 inliers vs min_loop_inliers=15 while spurious candidates
-        sit at 2-4 — the retry band recovers the former without
-        admitting the latter."""
+    def _dispatch_slate(self, rows, depth=0, salt=0):
+        """Dispatch a whole slate of candidate-vs-anchor verifications
+        as ONE vmapped program (verify_loop_slate) producing ONE packed
+        (K,19) result array; the async consumer fetches it later with a
+        single transfer. Through the remote-TPU relay each dispatched
+        program costs ~12 ms and each fetch a round trip — per-pair
+        programs (the r4 design) turned a 6-candidate hit into ~100 ms
+        of overhead and starved the one-per-poll consumer. `rows` is
+        [(hit_frame, cand_frame, chi2)]; padded to the static SLATE_K
+        with cand=-1 (ok=False rows)."""
+        rows = rows[:self.SLATE_K]
+        pad = self.SLATE_K - len(rows)
+        hfs = [hf for hf, _c, _v in rows] + [0] * pad
+        cs = [c for _hf, c, _v in rows] + [-1] * pad
+        base = jax.random.PRNGKey(self.seed ^ 0x5a5a)
+        keys = jnp.stack([
+            jax.random.fold_in(base,
+                               (hf * 7919 + c * 31 + salt) & 0x7fffffff)
+            for hf, c in zip(hfs, cs)])
+        res = verify_loop_slate(keys, self.state.kf,
+                                jnp.asarray(cs, jnp.int32),
+                                jnp.asarray(hfs, jnp.int32),
+                                self.cam, self.cfg)
+        self._verifying.append((_now(), rows, _pack_slate_result(res),
+                                depth))
+
+    def _retry_rows(self, frame, cand, chi2, a_frame):
+        """Retry slate for a near-miss: a near-miss verification
+        (inliers just under the accept gate) is usually a genuine
+        revisit seen through a slightly-off (candidate, anchor)
+        pairing — the BoW argmin is routinely a keyframe or two off the
+        best-overlapping frame, and the 1024-hypothesis RANSAC itself
+        flips on the PRNG key for marginal pairs. Retry the adjacent
+        candidate keyframes against the same anchor, the same candidate
+        against the PRECEDING anchor keyframe, and the original pair
+        under a fresh key. Observed at 2000-frame scale: genuine
+        revisits die at 6-14 inliers vs min_loop_inliers=15 while
+        spurious candidates sit at 2-4 — the retry band recovers the
+        former without admitting the latter."""
         ke = max(self.cfg.mapping.keyframe_every, 1)
-        slate = [
-            (frame, cand, 1),            # same pair, fresh RANSAC key
-            (frame, cand - ke, 0),       # adjacent candidate keyframes
-            (frame, cand + ke, 0),
-        ]
+        rows = [(frame, cand, chi2),          # fresh key (salt differs)
+                (frame, cand - ke, chi2),
+                (frame, cand + ke, chi2)]
         if a_frame > 0:
-            slate.append((a_frame - 1, cand, 0))   # preceding anchor kf
-        for hf, c, salt in slate:
-            if c < 0:
-                continue
-            self._dispatch_verify(hf, c, chi2, depth=1, salt=salt)
+            rows.append((a_frame - 1, cand, chi2))
+        return [(hf, c, v) for hf, c, v in rows if c >= 0]
 
     NEAR_MISS_MIN = 7
 
-    def _apply_verification(self, frame, cand, chi2, fetched, depth=0):
+    def _edge_is_dup(self, cand, anchor) -> bool:
+        """An accepted edge suppresses further edges of the SAME revisit
+        window (BOTH endpoints within bow.rearm_frames) — NOT a global
+        re-arm: r5 try2 verified 6 genuine closures across 4 distinct
+        windows but the global rearm (ref main.py:106) kept only 3
+        edges, throwing away exactly the distinct-window constraints
+        PGO needs most at 2000-frame scale."""
+        wnd = max(self.cfg.bow.rearm_frames, 1)
+        return any(abs(cand - i) <= wnd and abs(anchor - j) <= wnd
+                   for i, j, _Z, _w in self.loop_edges)
+
+    def _apply_slate(self, rows, fetched, depth=0):
+        """Consume one fetched (K,19) slate: record events, accept
+        verified edges of DISTINCT revisit windows (per-window dedup,
+        see EDGE_DEDUP_W), and collect ONE depth-1 retry slate from
+        near-miss rows."""
         packed = np.asarray(fetched)
-        T_ac = packed[:16].reshape(4, 4)
-        a_frame = int(packed[16])
-        n_inl = int(packed[17])
-        ok = bool(packed[18] > 0.5)
-        self.loop_events.append(LoopEvent(
-            frame=frame, candidate=cand, chi2=chi2,
-            num_inliers=int(n_inl), accepted=ok))
-        if not ok:
-            if (depth == 0 and n_inl >= self.NEAR_MISS_MIN
-                    and frame >= self._rearm_at):
-                self._retry_near_miss(frame, cand, chi2, a_frame)
-            return
-        if frame < self._rearm_at:
-            return                        # a just-accepted loop covers this
-        # Edge (cand, anchor): Z = T_cand_anchor = inv(T_anchor_cand)
-        Z = np.asarray(np.linalg.inv(np.asarray(T_ac)))
-        self.loop_edges.append((cand, int(a_frame), Z,
-                                float(self.cfg.ba.pg_loop_weight)))
-        self._rearm_at = frame + self.cfg.bow.rearm_frames
-        # Immediate trajectory relaxation over the affected span.
-        self._run_pgo()
+        retries = []
+        for k, (frame, cand, chi2) in enumerate(rows):
+            row = packed[k]
+            T_ac = row[:16].reshape(4, 4)
+            a_frame = int(row[16])
+            n_inl = int(row[17])
+            ok = bool(row[18] > 0.5)
+            self.loop_events.append(LoopEvent(
+                frame=frame, candidate=cand, chi2=chi2,
+                num_inliers=n_inl, accepted=ok))
+            if not ok:
+                if (depth == 0 and n_inl >= self.NEAR_MISS_MIN
+                        and not self._edge_is_dup(cand, frame)):
+                    retries += self._retry_rows(frame, cand, chi2,
+                                                a_frame)
+                continue
+            if self._edge_is_dup(cand, a_frame):
+                continue              # this revisit window already closed
+            # Edge (cand, anchor): Z = T_cand_anchor = inv(T_anchor_cand)
+            Z = np.asarray(np.linalg.inv(np.asarray(T_ac)))
+            self.loop_edges.append((cand, a_frame, Z,
+                                    float(self.cfg.ba.pg_loop_weight)))
+            self._rearm_at = frame + self.cfg.bow.rearm_frames
+            # Immediate trajectory relaxation over the affected span.
+            self._run_pgo()
+        if retries:
+            # Dedupe within the retry slate (distinct windows only).
+            seen = []
+            uniq = []
+            for hf, c, v in retries:
+                if all((hf, c) != s for s in seen):
+                    seen.append((hf, c))
+                    uniq.append((hf, c, v))
+            self._dispatch_slate(uniq, depth=1, salt=1)
 
     def _consume_verifications(self, force=False):
         if not self._async:
-            # Retries dispatched by _apply_verification extend
-            # _verifying mid-iteration — drain until empty.
+            # Retries dispatched by _apply_slate extend _verifying
+            # mid-iteration — drain until empty.
             while self._verifying:
                 pending, self._verifying = self._verifying, []
-                for _, frame, cand, chi2, packed, depth in pending:
-                    self._apply_verification(frame, cand, chi2,
-                                             jax.device_get(packed),
-                                             depth=depth)
+                for _, rows, packed, depth in pending:
+                    self._apply_slate(rows, jax.device_get(packed),
+                                      depth=depth)
             return
         while True:
             vi = self._verify_inflight
             if vi is not None:
-                fut, frame, cand, chi2, depth = vi
+                fut, rows, depth = vi
                 if not (force or fut.done()):
                     return
                 self._verify_inflight = None
-                self._apply_verification(frame, cand, chi2, fut.result(),
-                                         depth=depth)
+                self._apply_slate(rows, fut.result(), depth=depth)
             if not self._verifying:
                 return
-            _, frame, cand, chi2, packed, depth = self._verifying.pop(0)
+            _, rows, packed, depth = self._verifying.pop(0)
             fut = self._pool.submit(jax.device_get, packed)
-            self._verify_inflight = (fut, frame, cand, chi2, depth)
+            self._verify_inflight = (fut, rows, depth)
             if not force:
                 return
 

@@ -39,11 +39,29 @@ def temporal_track(key, prev_obs: StereoObservations, cur_feats: Features,
                    cam: StereoCamera, cfg: SlamConfig,
                    xi_prior=None) -> TrackResult:
     """Estimate T_cur_prev from prev 3D points and current 2D features."""
-    m = hamming.match(prev_obs.desc, cur_feats.desc,
-                      prev_obs.mask, cur_feats.mask,
-                      ratio=cfg.matcher.ratio,
-                      max_distance=cfg.matcher.max_hamming,
-                      cross_check=cfg.matcher.cross_check)
+    if xi_prior is not None and cfg.tracking.gate_radius_px > 0:
+        # Prediction-gated matching: project each prev 3D point under
+        # the constant-velocity prior and only let features inside a
+        # gate disk compete (hamming.match_windowed) — the ratio test
+        # then rejects lookalikes elsewhere in the frame instead of
+        # true matches.
+        from slam1_tpu.ops.camera import project
+        X_pred = se3.transform_points(se3.exp_se3(xi_prior),
+                                      prev_obs.xyz)
+        uv_pred, _ = project(cam, X_pred)
+        m = hamming.match_windowed(
+            prev_obs.desc, cur_feats.desc, uv_pred, cur_feats.xy,
+            prev_obs.mask, cur_feats.mask,
+            radius=cfg.tracking.gate_radius_px,
+            ratio=cfg.matcher.ratio,
+            max_distance=cfg.matcher.max_hamming,
+            cross_check=cfg.matcher.cross_check)
+    else:
+        m = hamming.match(prev_obs.desc, cur_feats.desc,
+                          prev_obs.mask, cur_feats.mask,
+                          ratio=cfg.matcher.ratio,
+                          max_distance=cfg.matcher.max_hamming,
+                          cross_check=cfg.matcher.cross_check)
     # Range gate on the 3D magnitude (ref Point3D.py:44-47).
     ranges = jnp.linalg.norm(prev_obs.xyz, axis=-1)
     rng_ok = ranges < cfg.tracking.max_point_range

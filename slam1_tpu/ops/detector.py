@@ -79,11 +79,11 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
 
     if _use_pallas():
         from slam1_tpu.ops import pallas_kernels
-        score = pallas_kernels.fast_score(img, cfg.fast_threshold,
-                                          arc=cfg.fast_arc)
+        raw = pallas_kernels.fast_score(img, cfg.fast_threshold,
+                                        arc=cfg.fast_arc)
     else:
-        score = fast.fast_score(img, cfg.fast_threshold, arc=cfg.fast_arc)
-    score = fast.nms(score, cfg.nms_radius)
+        raw = fast.fast_score(img, cfg.fast_threshold, arc=cfg.fast_arc)
+    score = fast.nms(raw, cfg.nms_radius)
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
@@ -108,7 +108,30 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
     y = ty + (tile_r * th)[:, None]
     x = tx + (tile_c * tw)[:, None]
 
-    xy = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1).astype(img.dtype)
+    # Subpixel refinement: 1D quadratic fit of the PRE-NMS score along
+    # each axis. Integer corner positions quantize stereo disparity by
+    # +-0.5 px at level 0 and +-2^l px at pyramid level l; the 1/d of
+    # triangulation turns that symmetric noise into a SYSTEMATIC depth
+    # overestimate (Jensen) that integrates into a few-percent VO
+    # translation-scale bias (measured +2-4% on the 2000-frame scale
+    # clip). Where a neighbor fails the FAST corner gate its score is 0
+    # and the fit degenerates to offset 0 — no harm, no refinement.
+    yf = y.reshape(-1)
+    xf = x.reshape(-1)
+    yc = jnp.clip(yf, 1, h - 2)
+    xc = jnp.clip(xf, 1, w - 2)
+    s0 = raw[yc, xc]
+
+    def _paraboff(m, p, c):
+        den = m + p - 2.0 * c
+        t = 0.5 * (m - p) / jnp.where(jnp.abs(den) > 1e-9, den, 1.0)
+        return jnp.clip(jnp.where(jnp.abs(den) > 1e-9, t, 0.0),
+                        -0.5, 0.5)
+
+    dx = _paraboff(raw[yc, xc - 1], raw[yc, xc + 1], s0)
+    dy = _paraboff(raw[yc - 1, xc], raw[yc + 1, xc], s0)
+    xy = jnp.stack([xf.astype(img.dtype) + dx,
+                    yf.astype(img.dtype) + dy], axis=-1)
     scores = top_scores.reshape(-1)
     mask = scores > 0.0
 
@@ -116,6 +139,15 @@ def detect(img, cfg: DetectorConfig, valid_h=None, valid_w=None) -> Features:
     patches = _extract_patches_tiled(blurred, ty, tx, cfg.grid_rows,
                                      cfg.grid_cols, th, tw, cfg.patch_size)
     angles = brief.orientation(patches)
+    # Quantize steering to 30 deg bins (cv2 ORB steers its pattern in
+    # discrete increments for the same reason): the intensity-centroid
+    # angle carries a few degrees of view-dependent noise, and steering
+    # the 256-pair pattern by two slightly-different angles flips a
+    # large fraction of bits between two views of the SAME feature —
+    # within-bin noise now yields bit-identical descriptors, and BRIEF
+    # tolerates the residual <=15 deg rotation mismatch by design.
+    bin_w = 2.0 * jnp.pi / 12.0
+    angles = jnp.round(angles / bin_w) * bin_w
     pattern = _pattern_for(cfg)
     desc = brief._describe(patches, angles, pattern, cfg.brief_pairs)
 

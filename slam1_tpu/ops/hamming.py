@@ -77,6 +77,71 @@ def match(desc_a, desc_b, mask_a=None, mask_b=None, *, ratio=0.8,
     return Matches(idx=best, distance=d1, mask=ok)
 
 
+def match_epipolar(desc_a, desc_b, xy_a, xy_b, mask_a, mask_b, *,
+                   ratio=0.8, max_distance=64, dy_tol=2.0,
+                   min_disparity=0.25, max_disparity=96.0,
+                   cross_check=True) -> Matches:
+    """Rectified-stereo matching: the epipolar band (|dy| <= dy_tol,
+    disparity in [min, max]) is applied to the distance matrix BEFORE
+    best/second-best selection.
+
+    Gating candidates first changes what the Lowe ratio test measures:
+    the second-best then comes from the ~10 candidates geometrically
+    able to correspond, not from the whole frame — on self-similar
+    imagery the global second-best is routinely a lookalike elsewhere
+    in the image and the ratio test throws away the majority of true
+    stereo pairs (measured: 133 within-distance-gate matches reduced to
+    56 by the global ratio test on a 192-feature frame). This is the
+    brute-force MXU analogue of classical scanline stereo matching; the
+    reference's FLANN+LMedS pipeline (keypoint.py:35-66) filters AFTER
+    matching and pays the same recall cost.
+    """
+    n, m_ = desc_a.shape[0], desc_b.shape[0]
+    d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
+    dy = jnp.abs(xy_a[:, 1:2] - xy_b[None, :, 1])
+    disp = xy_a[:, 0:1] - xy_b[None, :, 0]
+    off_band = ((dy > dy_tol) | (disp < min_disparity)
+                | (disp > max_disparity))
+    d = jnp.where(off_band, _BIG, d)
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    best = idx_top2[:, 0]
+    ok = (d1 <= max_distance) & (d1.astype(jnp.float32)
+                                 < ratio * d2.astype(jnp.float32))
+    if cross_check:
+        col_best = jnp.argmin(d, axis=0)
+        ok = ok & (col_best[best] == jnp.arange(n))
+    if mask_a is not None:
+        ok = ok & mask_a
+    return Matches(idx=best, distance=d1, mask=ok)
+
+
+def match_windowed(desc_a, desc_b, uv_pred_a, xy_b, mask_a, mask_b, *,
+                   radius, ratio=0.8, max_distance=64,
+                   cross_check=True) -> Matches:
+    """Prediction-gated matching: B candidates outside a `radius`-px
+    disk around each A row's PREDICTED position are masked out of the
+    distance matrix before best/second-best selection — the temporal
+    analogue of match_epipolar's band (the ratio test then compares
+    against candidates the motion model considers reachable, not the
+    whole frame's lookalikes)."""
+    n = desc_a.shape[0]
+    d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
+    d2px = jnp.sum((uv_pred_a[:, None, :] - xy_b[None, :, :]) ** 2, -1)
+    d = jnp.where(d2px > radius * radius, _BIG, d)
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    d1, dd2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    best = idx_top2[:, 0]
+    ok = (d1 <= max_distance) & (d1.astype(jnp.float32)
+                                 < ratio * dd2.astype(jnp.float32))
+    if cross_check:
+        col_best = jnp.argmin(d, axis=0)
+        ok = ok & (col_best[best] == jnp.arange(n))
+    if mask_a is not None:
+        ok = ok & mask_a
+    return Matches(idx=best, distance=d1, mask=ok)
+
+
 def gather_matches(values_b, matches: Matches, fill=0.0):
     """Gather per-match rows of `values_b` aligned to A's index space."""
     out = values_b[matches.idx]

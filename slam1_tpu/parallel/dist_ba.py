@@ -267,13 +267,17 @@ def _local_cost(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
                                 * r2), "lm")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh",
+                                             "return_trace"))
 def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
-                              cfg: BAConfig, mesh: Mesh):
+                              cfg: BAConfig, mesh: Mesh,
+                              return_trace: bool = False):
     """LM loop around the sharded GN step. `problem` must be produced by
     `partition_problem` with n_shards == mesh.shape['lm'].
 
-    Returns (problem with optimized poses/points, final cost).
+    Returns (problem with optimized poses/points, final cost), plus the
+    (lm_iters,) accepted-cost trace when `return_trace` (static) — for
+    convergence-parity checks against the single-chip solver.
     """
     spec_sh = P("lm")
     spec_rep = P()
@@ -319,9 +323,12 @@ def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
     cost0 = cost_fn(problem.poses, problem.points, problem.cam_idx,
                     problem.lm_idx, problem.uv, problem.w, problem.ur,
                     problem.wr)
-    (poses, points, _, cost), _ = jax.lax.scan(
+    (poses, points, _, cost), costs = jax.lax.scan(
         lm_iter,
         (problem.poses, problem.points,
          jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
         None, length=cfg.lm_iters)
-    return problem._replace(poses=poses, points=points), cost
+    out = problem._replace(poses=poses, points=points)
+    if return_trace:
+        return out, cost, costs
+    return out, cost

@@ -55,7 +55,13 @@ def test_sharded_pgo_matches_single_chip():
     le_z[0] = np.linalg.inv(gt[0]) @ gt[f - 1]
     le_w[0] = 5.0
 
-    iters, cg_iters = 8, 48
+    # Parity is checked AT THE GN FIXED POINT: the single-chip solver's
+    # chain preconditioner makes its CG exact in ~O(loop edges)
+    # iterations, while the sharded solver's CG is unpreconditioned and
+    # needs ~O(F) iterations to propagate corrections along the chain —
+    # so the sharded side gets a larger CG budget and both must land on
+    # the same optimum.
+    iters = 8
 
     ei = jnp.arange(f - 1, dtype=jnp.int32)
     ref_graph = posegraph.PoseGraph(
@@ -65,14 +71,14 @@ def test_sharded_pgo_matches_single_chip():
         z=jnp.concatenate([jnp.asarray(z[:f - 1]), jnp.asarray(le_z)]),
         w=jnp.concatenate([jnp.asarray(w[:f - 1]), jnp.asarray(le_w)]))
     ref_poses, ref_cost = posegraph.optimize(ref_graph, iters=iters,
-                                             cg_iters=cg_iters)
+                                             cg_iters=48)
 
     m = mesh_mod.make_mesh(8, lm_axis=4)
     out_poses, out_cost = dist_pgo.optimize_sharded(
         jnp.asarray(est), jnp.asarray(z), jnp.asarray(w),
         jnp.asarray(le_i), jnp.asarray(le_j), jnp.asarray(le_z),
         jnp.asarray(le_w), mesh=m, axis="lm", iters=iters,
-        cg_iters=cg_iters)
+        cg_iters=3 * f)
 
     ref_np = np.asarray(ref_poses)
     out_np = np.asarray(out_poses)

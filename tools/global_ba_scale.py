@@ -80,7 +80,7 @@ def run_pipeline(n, cfg, world, ckpt_path=None):
         idx = jnp.arange(done, hi)
         t_r = time.perf_counter()
         L, R = jax.lax.map(lambda i: render_frame(world, i, h, w), idx,
-                           batch_size=8)
+                           batch_size=4)
         _ = np.asarray(L[-1, 0, :1])        # real sync (relay: fetch)
         render_s += time.perf_counter() - t_r
         k0 = 0
@@ -155,6 +155,10 @@ def backend_stages(sys_, world, cfg, n):
     for e in sys_.loop_events:
         print(f"  loop event f={e.frame} cand={e.candidate} "
               f"inl={e.num_inliers} acc={e.accepted}", file=sys.stderr)
+    hits = [(m.frame, m.loop_candidate, round(m.loop_chi2, 3))
+            for m in sys_.metrics if m.loop_hit]
+    print(f"  {len(hits)} BoW hit rows; last 40: {hits[-40:]}",
+          file=sys.stderr)
 
     bucket = next((b for b in (128, 512, 1024, 2048, 8192) if b >= n_kf),
                   n_kf)
