@@ -221,6 +221,18 @@ class BowConfig:
     loop_poll_every: int = 4        # host polls the device trigger flag
                                     # every N frames (avoids a per-frame
                                     # device->host sync)
+    # Brute-force MXU place recognition (models/loop_closure.place_query):
+    # at each drain the newest keyframe's snapshot is matched against
+    # every stored keyframe snapshot on the MXU; the BoW histogram path
+    # below remains as the per-frame trigger/telemetry and as the
+    # retrieval for small-canvas configs where the exhaustive product
+    # is slower than its recall is worth (tiny_config disables this).
+    place_query: bool = True
+    place_thresh: int = 32          # per-descriptor Hamming accept
+                                    # (genuine correspondences sit at
+                                    # ~5-20 bits, lookalike noise at 40+)
+    place_topk: int = 3             # candidates verified per drain
+    place_nms_frames: int = 50      # min frame gap between candidates
     # Batched-drain mode switch. > 0: per-frame metrics accumulate in
     # the DEVICE-side ring (SlamState.rows) and the host fetches the
     # ring as ONE array per poll_max_pending frames — through a
@@ -261,6 +273,17 @@ class BAConfig:
     outlier_px: float = 16.0
     pg_iters: int = 25              # pose-graph GN iterations
     pg_loop_weight: float = 1000.0  # loop constraint weight (ref :140-141)
+    # Pose-prior weights for GLOBAL BA (models/ba BAProblem.pe_*): the
+    # odometry-chain prior pins the reprojection-soft global modes
+    # (reprojection curvature per camera ~ 2e5 per unit twist^2 at
+    # KITTI scale; 1e4 regularizes the soft modes without fighting
+    # locally-informative observations), the loop prior pins verified
+    # closures hard. Without them a global BA measurably UNDOES the
+    # pose graph: cost 699 -> 29M while keyframe ATE went 3.1 -> 4.9 m
+    # (r5 config-4 experiment). The reference's active backend is the
+    # pose-only special case of this (BundleAdjustment.py:107-183).
+    prior_odo_weight: float = 1e4
+    prior_loop_weight: float = 1e6
     # per-axis motion-prior weights, ref BundleAdjustment.py:124-129
     motion_prior: tuple = (1.0, 1.0, 5e-4, 0.5, 0.05, 1.0)
     cg_iters: int = 64              # CG iterations for the reduced camera system
@@ -304,7 +327,24 @@ def tiny_config() -> SlamConfig:
                               obs_per_frame=192, max_frames=512),
         bow=BowConfig(num_words=64, train_iters=6, query_exclude=10,
                       sample_desc_per_frame=64, backfill_desc_per_frame=192,
-                      poll_lag_s=0.0),
+                      poll_lag_s=0.0,
+                      # CPU-test scale: the brute-force place query is
+                      # MXU-shaped work (a 275-GFLOP scan per query at
+                      # even a 512-row bucket) — the BoW trigger path
+                      # retrieves fine at 36-72-frame clip scale and
+                      # keeps the suite fast.
+                      place_query=False,
+                      # Calibrated to test-canvas data richness: at
+                      # fx~150 the triangulated depth noise is metres
+                      # (sigma_z ~ z^2 sigma_d / (fx b)), so genuine
+                      # pairs land ~10-20 inliers under the 3 px RANSAC
+                      # gate (10 when the anchor keyframe is a couple
+                      # of frames off the hit) while spurious
+                      # candidates stay at 0-4 — 9 keeps a >2x margin,
+                      # the same ratio the production 15 has at full
+                      # resolution; test_pipeline_no_false_loops guards
+                      # the precision side.
+                      min_loop_inliers=9),
         tracking=TrackingConfig(ransac_iters=64),
         disparity=DisparityConfig(max_disp=32, radius=3),
     )

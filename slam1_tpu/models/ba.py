@@ -56,17 +56,40 @@ class BAProblem(NamedTuple):
     w: jnp.ndarray        # (O,) observation weight; 0 = padding
     ur: jnp.ndarray       # (O,) observed right-camera u (stereo)
     wr: jnp.ndarray       # (O,) stereo weight; 0 = monocular obs
+    # Optional POSE-PRIOR edges (odometry chain + verified loop
+    # closures): residual log(Z^-1 Ti^-1 Tj) between camera rows.
+    # Reprojection alone leaves global gauge-adjacent modes soft (only
+    # camera 0 is pinned), and a global BA free to bend them will
+    # happily trade loop consistency for reprojection cost — measured
+    # at config-4 scale: cost 699 -> 29M while keyframe ATE went 3.1 ->
+    # 4.9 m. The priors carry the pose graph INTO the BA objective (the
+    # reference's active backend is exactly motion priors + a loop
+    # constraint, BundleAdjustment.py:107-183 — here they coexist with
+    # full landmark reprojection). Empty (E=0) arrays disable.
+    pe_i: jnp.ndarray     # (E,) int32 camera row i
+    pe_j: jnp.ndarray     # (E,) int32 camera row j
+    pe_z: jnp.ndarray     # (E,4,4) measured T_i_j
+    pe_w: jnp.ndarray     # (E,) weight; 0 = padding
 
 
-def make_problem(poses, points, cam_idx, lm_idx, uv, w, ur=None, wr=None):
-    """BAProblem constructor; omitted ur/wr default to monocular."""
+def make_problem(poses, points, cam_idx, lm_idx, uv, w, ur=None, wr=None,
+                 pe_i=None, pe_j=None, pe_z=None, pe_w=None):
+    """BAProblem constructor; omitted ur/wr default to monocular,
+    omitted pe_* to no pose priors."""
     o = uv.shape[0]
+    dt = uv.dtype
     if ur is None:
-        ur = jnp.zeros((o,), uv.dtype)
+        ur = jnp.zeros((o,), dt)
     if wr is None:
-        wr = jnp.zeros((o,), uv.dtype)
+        wr = jnp.zeros((o,), dt)
+    if pe_i is None:
+        pe_i = jnp.zeros((0,), jnp.int32)
+        pe_j = jnp.zeros((0,), jnp.int32)
+        pe_z = jnp.zeros((0, 4, 4), dt)
+        pe_w = jnp.zeros((0,), dt)
     return BAProblem(poses=poses, points=points, cam_idx=cam_idx,
-                     lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr)
+                     lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr,
+                     pe_i=pe_i, pe_j=pe_j, pe_z=pe_z, pe_w=pe_w)
 
 
 def _obs_residual(dc, dl, T, X, uv, ur, wr, cam: StereoCamera):
@@ -85,6 +108,33 @@ def _obs_residual(dc, dl, T, X, uv, ur, wr, cam: StereoCamera):
     v = cam.fy * Xc[1] / z + cam.cy
     u_r = cam.fx * (Xc[0] - cam.baseline) / z + cam.cx
     return jnp.stack([u - uv[0], v - uv[1], wr * (u_r - ur)])
+
+
+def _prior_terms(problem: BAProblem, poses):
+    """Residuals (E,6) + Jacobians (E,6,6) of the pose-prior edges at
+    `poses` (weight-masked against padding-row NaNs)."""
+    from slam1_tpu.models.posegraph import _edge_residual
+    T_i = poses[problem.pe_i]
+    T_j = poses[problem.pe_j]
+    zero = jnp.zeros((problem.pe_i.shape[0], 6), problem.uv.dtype)
+    r = jax.vmap(_edge_residual)(zero, zero, T_i, T_j, problem.pe_z)
+    Ji = jax.vmap(jax.jacfwd(_edge_residual, argnums=0))(
+        zero, zero, T_i, T_j, problem.pe_z)
+    Jj = jax.vmap(jax.jacfwd(_edge_residual, argnums=1))(
+        zero, zero, T_i, T_j, problem.pe_z)
+    ok = (problem.pe_w > 0)[:, None]
+    r = jnp.where(ok, r, 0.0)
+    Ji = jnp.where(ok[..., None], Ji, 0.0)
+    Jj = jnp.where(ok[..., None], Jj, 0.0)
+    return r, Ji, Jj, problem.pe_w
+
+
+def _prior_cost(problem: BAProblem, poses):
+    """() quadratic cost of the pose-prior edges at `poses`."""
+    if problem.pe_i.shape[0] == 0:
+        return jnp.asarray(0.0, problem.uv.dtype)
+    r, _, _, w = _prior_terms(problem, poses)
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
 def _linearize(problem: BAProblem, cam: StereoCamera, w_irls):
@@ -133,6 +183,20 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
     # hundreds of ms at L ~ 10^5.
     Hll_inv = _inv3x3(Hll_d)                                      # (L,3,3)
 
+    # Pose-prior edges: camera-side only, so they ride OUTSIDE the
+    # landmark elimination — gradient into bc, curvature applied
+    # matrix-free inside the CG matvec (both the diagonal and the
+    # (i,j) cross blocks; Hcc stays block-diagonal storage).
+    has_prior = problem.pe_i.shape[0] > 0
+    if has_prior:
+        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
+        wp2 = wp[:, None]
+        bc = bc - (jnp.zeros((C, 6), r.dtype)
+                   .at[problem.pe_i].add(
+                       jnp.einsum("eab,ea->eb", Jpi, rp * wp2))
+                   .at[problem.pe_j].add(
+                       jnp.einsum("eab,ea->eb", Jpj, rp * wp2)))
+
     btil = bc - jnp.zeros((C, 6), r.dtype).at[ci].add(
         jnp.einsum("oij,oj->oi", W,
                    jnp.einsum("lij,lj->li", Hll_inv, bl)[li]))
@@ -145,6 +209,15 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
         y = jnp.einsum("oij,oj->oi", W, v[li])                    # (O,6)
         out = jnp.einsum("cij,cj->ci", Hcc_d, x)
         out = out - jnp.zeros((C, 6), r.dtype).at[ci].add(y)
+        if has_prior:
+            ye = (jnp.einsum("eab,eb->ea", Jpi, x[problem.pe_i])
+                  + jnp.einsum("eab,eb->ea", Jpj,
+                               x[problem.pe_j])) * wp2
+            out = (out
+                   .at[problem.pe_i].add(
+                       jnp.einsum("eab,ea->eb", Jpi, ye))
+                   .at[problem.pe_j].add(
+                       jnp.einsum("eab,ea->eb", Jpj, ye)))
         return out.at[0].set(x[0])                                # gauge
 
     # closed-form blockwise SPD inverse (jnp.linalg.inv = scalarized
@@ -204,6 +277,27 @@ def _schur_solve_direct(problem, r, Jc, Jl, w, lam):
     S = (jnp.zeros((C, 6, C, 6), r.dtype).at[idx, :, idx, :].set(Hcc_d)
          - S_off)
     btil = bc - jnp.einsum("lcik,lk->ci", UH, bl)                 # (C,6)
+
+    # Pose-prior edges (camera-side only): dense blocks into S and the
+    # gradient into btil (see _schur_solve for the matrix-free twin).
+    if problem.pe_i.shape[0] > 0:
+        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
+        wp2 = wp[:, None]
+        pi, pj = problem.pe_i, problem.pe_j
+        S = (S
+             .at[pi, :, pi, :].add(
+                 jnp.einsum("eai,eaj->eij", Jpi, Jpi * wp[:, None, None]))
+             .at[pj, :, pj, :].add(
+                 jnp.einsum("eai,eaj->eij", Jpj, Jpj * wp[:, None, None]))
+             .at[pi, :, pj, :].add(
+                 jnp.einsum("eai,eaj->eij", Jpi, Jpj * wp[:, None, None]))
+             .at[pj, :, pi, :].add(
+                 jnp.einsum("eai,eaj->eij", Jpj, Jpi * wp[:, None, None])))
+        btil = btil - (jnp.zeros((C, 6), r.dtype)
+                       .at[pi].add(jnp.einsum("eab,ea->eb", Jpi,
+                                              rp * wp2))
+                       .at[pj].add(jnp.einsum("eab,ea->eb", Jpj,
+                                              rp * wp2)))
 
     # Gauge: camera 0 block acts as identity (rows/cols zeroed, diag 1),
     # matching the CG path's `.at[0].set(x[0])`.
@@ -325,7 +419,9 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         else:
             active = jnp.ones_like(r2)
             cap = jnp.asarray(jnp.inf, r.dtype)
-        cost_cur = trunc_cost(hw, r2, cap)
+        pc_cur = _prior_cost(problem, poses)
+        cost_cur = trunc_cost(hw, r2, cap) + pc_cur
+        full_cur = full_cur + pc_cur
         r_, Jc, Jl, w_ = _linearize(p, cam, w)
         if problem.poses.shape[0] <= 16:
             dc, dl = _schur_solve_direct(p, r_, Jc, Jl, w_, lam)
@@ -339,7 +435,9 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
             problem._replace(poses=new_poses, points=new_points), cam,
             cfg.huber_delta)
         r2_new = jnp.sum(r_new * r_new, axis=-1)
-        cost_new = trunc_cost(hw_new, r2_new, cap)
+        pc_new = _prior_cost(problem, new_poses)
+        cost_new = trunc_cost(hw_new, r2_new, cap) + pc_new
+        full_new = full_new + pc_new
         accept = cost_new < cost_cur
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
@@ -357,6 +455,7 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         jnp.arange(cfg.lm_iters))
     cost, _, _ = _cost(problem._replace(poses=poses, points=points),
                        cam, cfg.huber_delta)
+    cost = cost + _prior_cost(problem, poses)
     out = problem._replace(poses=poses, points=points)
     if return_trace:
         return out, cost, BATrace(cost=costs, n_obs=n_obs)

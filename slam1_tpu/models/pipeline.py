@@ -51,7 +51,7 @@ from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
 from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
-from slam1_tpu.models.loop_closure import verify_loop_slate
+from slam1_tpu.models.loop_closure import place_query, verify_loop_slate
 from slam1_tpu.models.tracker import chain_pose, temporal_track
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
@@ -393,7 +393,9 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
 
 
 def build_global_problem(state: SlamState, n_kf: int,
-                         obs_bucket: int = 0):
+                         obs_bucket: int = 0, loop_rows=None,
+                         prior_odo_weight: float = 0.0,
+                         prior_loop_weight: float = 0.0):
     """BAProblem over keyframes [0, n_kf) from the per-keyframe
     observation slots (BASELINE config 4: global BA over all keyframes).
     `n_kf` must be static (host buckets it).
@@ -404,6 +406,14 @@ def build_global_problem(state: SlamState, n_kf: int,
     Valid rows are sorted to the front and the first `obs_bucket`
     (static) kept — pick it as the smallest bucket >= the real count
     (host knows sum(obs_count)); overflow beyond the bucket is dropped.
+
+    loop_rows (optional): (le_i, le_j, le_z, le_w) fixed-capacity loop
+    edges in KEYFRAME-ROW indices. When given (and prior_odo_weight >
+    0), the problem carries POSE-PRIOR edges: the consecutive-keyframe
+    chain with the CURRENT relative poses as the prior mean ("trust the
+    post-PGO increments"; residual 0 at the initial point, penalizing
+    deviation of relative motion) plus the loop edges — see
+    BAProblem.pe_* for why global BA needs them.
     """
     obs = state.map.obs[:n_kf]                              # (N,OPF,4)
     ur = state.map.obs_ur[:n_kf].reshape(-1)
@@ -432,8 +442,22 @@ def build_global_problem(state: SlamState, n_kf: int,
         w = w[order]
         ur = ur[order]
         wr = wr[order]
+    pe = {}
+    if loop_rows is not None and prior_odo_weight > 0:
+        le_i, le_j, le_z, le_w = loop_rows
+        ei = jnp.arange(n_kf - 1, dtype=jnp.int32)
+        chain_ok = row_ok[:-1] & row_ok[1:]
+        z_chain = jax.vmap(
+            lambda a, b: se3.inverse(a) @ b)(poses[:-1], poses[1:])
+        pe = dict(
+            pe_i=jnp.concatenate([ei, le_i.astype(jnp.int32)]),
+            pe_j=jnp.concatenate([ei + 1, le_j.astype(jnp.int32)]),
+            pe_z=jnp.concatenate([z_chain, le_z]),
+            pe_w=jnp.concatenate([
+                prior_odo_weight * chain_ok.astype(uv.dtype),
+                prior_loop_weight * (le_w > 0).astype(uv.dtype)]))
     return make_problem(poses, state.map.xyz, cam_idx, lmc, uv, w,
-                        ur=ur, wr=wr), frames
+                        ur=ur, wr=wr, **pe), frames
 
 
 @functools.partial(jax.jit,
@@ -441,13 +465,19 @@ def build_global_problem(state: SlamState, n_kf: int,
                                     "return_trace"))
 def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
                    n_kf: int, obs_bucket: int = 0,
-                   return_trace: bool = False):
+                   return_trace: bool = False, loop_rows=None):
     """Global BA over the first n_kf keyframes; returns updated state.
     `obs_bucket`: static compacted observation count (see
     build_global_problem) — callers pick the smallest bucket covering
     int(sum(map.obs_count[:n_kf])). `return_trace` additionally returns
-    the per-LM-iteration BATrace (convergence diagnostics)."""
-    prob, frames = build_global_problem(state, n_kf, obs_bucket)
+    the per-LM-iteration BATrace (convergence diagnostics). `loop_rows`
+    (fixed-capacity keyframe-row loop edges) enables the pose-prior
+    regularization — see build_global_problem."""
+    prob, frames = build_global_problem(
+        state, n_kf, obs_bucket, loop_rows=loop_rows,
+        prior_odo_weight=(cfg.ba.prior_odo_weight
+                          if loop_rows is not None else 0.0),
+        prior_loop_weight=cfg.ba.prior_loop_weight)
     trace = None
     if return_trace:
         out, cost, trace = bundle_adjust(prob, cam, cfg.ba,
@@ -569,7 +599,8 @@ class SlamSystem:
                                          # of recent BoW hit rows
         self._last_drained = 0           # newest frame whose metrics row
                                          # has been fetched from the ring
-        self._verifying: list = []       # (t, hit_frame, cand, chi2, packed)
+        self._verifying: list = []       # (t, rows, packed, depth) slates
+        self._last_place_kf = 0          # newest kf row already place-queried
         # Transport discipline (measured on the remote-TPU relay): every
         # device->host read contends with the dispatch stream — a read
         # per frame/poll collapses throughput ~40x. So the camera loop
@@ -697,6 +728,36 @@ class SlamSystem:
         self.metrics.extend(drained)
         latest = drained[-1]
         kf_n = int(latest.kf_n)
+
+        # Brute-force MXU place recognition (the production retrieval
+        # path; loop_closure.place_query): once per drain, match the
+        # newest keyframe's snapshot against every stored snapshot and
+        # hand the top candidates straight to slate verification. The
+        # per-frame BoW trigger machinery below stays as telemetry and
+        # as the retrieval for configs where the exhaustive product
+        # isn't worth its FLOPs (cfg.bow.place_query=False).
+        if (cfg.bow.place_query and kf_n > self._last_place_kf
+                and kf_n >= 2):
+            self._last_place_kf = kf_n
+            q_row = kf_n - 1
+            q_frame = int(np.asarray(
+                self.state.kf.frame_of_row[q_row]))
+            max_frame = q_frame - cfg.bow.query_exclude
+            if max_frame > 0:
+                cap = self.state.kf.desc.shape[0]
+                n_rows = next((b for b in (128, 512, 1024, 2048, 8192)
+                               if b >= kf_n and b <= cap), cap)
+                cands, scores = place_query(
+                    self.state.kf, q_row, max_frame, n_rows,
+                    k=cfg.bow.place_topk,
+                    thresh=cfg.bow.place_thresh,
+                    nms_frames=cfg.bow.place_nms_frames)
+                cands = np.asarray(cands)
+                scores = np.asarray(scores)
+                pairs = [(q_frame, int(c), float(s))
+                         for c, s in zip(cands, scores) if c >= 0]
+                if pairs:
+                    self._try_close_loop(pairs)
 
         # Collect ALL drained hit rows (a hit on a non-poll frame that
         # fades by the poll frame must not be dropped) into a rolling
@@ -962,8 +1023,11 @@ class SlamSystem:
             self.loop_edges.append((cand, a_frame, Z,
                                     float(self.cfg.ba.pg_loop_weight)))
             self._rearm_at = frame + self.cfg.bow.rearm_frames
-            # Immediate trajectory relaxation over the affected span.
-            self._run_pgo()
+            # Immediate trajectory relaxation over the affected span
+            # (deferred to one batch relaxation during the offline
+            # sweep, detect_loops_offline).
+            if not getattr(self, "_defer_pgo", False):
+                self._run_pgo()
         if retries:
             # Dedupe within the retry slate (distinct windows only).
             seen = []
@@ -999,6 +1063,75 @@ class SlamSystem:
             self._verify_inflight = (fut, rows, depth)
             if not force:
                 return
+
+    def loop_edge_rows(self, cap: int = MAX_LOOP_EDGES):
+        """Fixed-capacity (le_i, le_j, le_z, le_w) loop edges with
+        endpoints converted to KEYFRAME-ROW indices — the pose-prior
+        input of global_ba_step (camera rows of the global problem are
+        keyframe rows, while loop_edges store frame indices)."""
+        rof = np.asarray(self.state.kf.row_of_frame)
+        le_i = np.zeros(cap, np.int32)
+        le_j = np.zeros(cap, np.int32)
+        le_z = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        le_w = np.zeros(cap, np.float32)
+        k = 0
+        for i, j, Z, w in self.loop_edges[-cap:]:
+            ri = int(rof[i]) if 0 <= i < rof.shape[0] else -1
+            rj = int(rof[j]) if 0 <= j < rof.shape[0] else -1
+            if ri < 0 or rj < 0:
+                continue
+            le_i[k], le_j[k], le_z[k], le_w[k] = ri, rj, Z, w
+            k += 1
+        return (jnp.asarray(le_i), jnp.asarray(le_j),
+                jnp.asarray(le_z), jnp.asarray(le_w))
+
+    def detect_loops_offline(self, stride_kf: int = 8,
+                             run_pgo: bool = True) -> int:
+        """Post-hoc loop-closure sweep over the whole keyframe store
+        (the map-revisit analogue of ORB-SLAM's loop detection on a
+        built map; the reference has no counterpart — its loop scan
+        only ever runs frame-by-frame during the live pass,
+        main.py:99-118).
+
+        Every `stride_kf`-th keyframe is place-queried against the full
+        store (loop_closure.place_query) and its top candidates go
+        through the standard slate verification; accepted edges use the
+        same per-window dedup as the live path, so already-closed
+        windows cost one query and no verification. Per-accept PGO is
+        DEFERRED to one full-strength relaxation at the end. Returns
+        the number of loop edges added."""
+        cfg = self.cfg
+        kf_n = int(np.asarray(self.state.kf.n))
+        if kf_n < 2:
+            return 0
+        cap = self.state.kf.desc.shape[0]
+        n_rows = next((b for b in (128, 512, 1024, 2048, 8192)
+                       if b >= kf_n and b <= cap), cap)
+        fo = np.asarray(self.state.kf.frame_of_row[:kf_n])
+        n0 = len(self.loop_edges)
+        self._defer_pgo = True
+        try:
+            for q_row in range(stride_kf, kf_n, stride_kf):
+                q_frame = int(fo[q_row])
+                max_frame = q_frame - cfg.bow.query_exclude
+                if max_frame <= 0:
+                    continue
+                cands, scores = place_query(
+                    self.state.kf, q_row, max_frame, n_rows,
+                    k=cfg.bow.place_topk, thresh=cfg.bow.place_thresh,
+                    nms_frames=cfg.bow.place_nms_frames)
+                pairs = [(q_frame, int(c), float(s))
+                         for c, s in zip(np.asarray(cands),
+                                         np.asarray(scores)) if c >= 0]
+                if pairs:
+                    self._try_close_loop(pairs)
+                self._consume_verifications(force=True)
+        finally:
+            self._defer_pgo = False
+        added = len(self.loop_edges) - n0
+        if run_pgo and added:
+            self._run_pgo(iters=self.cfg.ba.pg_iters)
+        return added
 
     def _run_pgo(self, iters: Optional[int] = None):
         st = self.state
@@ -1056,6 +1189,7 @@ class SlamSystem:
             "bow_train_frame": self.bow_train_frame,
             "bow_trained": self._bow_trained,
             "hit_history": self._hit_history,
+            "last_place_kf": self._last_place_kf,
             "loop_edges": [
                 (int(i), int(j), np.asarray(Z).tolist(), float(w))
                 for i, j, Z, w in self.loop_edges],
@@ -1084,6 +1218,7 @@ class SlamSystem:
         sys_._hit_history = [
             (int(hf), [(int(c), float(v)) for c, v in cands])
             for hf, cands in meta.get("hit_history", [])]
+        sys_._last_place_kf = meta.get("last_place_kf", 0)
         sys_.loop_edges = [
             (i, j, np.asarray(Z, np.float32), w)
             for i, j, Z, w in meta["loop_edges"]]

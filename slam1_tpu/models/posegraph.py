@@ -101,7 +101,12 @@ def _chain_sqrt_solve(JjInv, Ji, winv, v):
         s_i = JjT_i @ (v_i - JiT_n @ s_next)
         return s_i, s_i
 
-    _, s = jax.lax.scan(bwd, jnp.zeros((6,), v.dtype),
+    # Derive the zero carries FROM v (v[0] * 0) rather than zeros():
+    # inside shard_map a fresh constant is unvarying over the manual
+    # axis while the scan outputs are varying, and the carry types
+    # must match (jax 0.9 vma check).
+    zero6 = v[0] * 0.0
+    _, s = jax.lax.scan(bwd, zero6,
                         (JjInvT[1:], JiT_next, v[1:]), reverse=True)
 
     u = winv[1:, None] * s
@@ -112,9 +117,8 @@ def _chain_sqrt_solve(JjInv, Ji, winv, v):
         x_i = JjI_i @ (u_i - Ji_i @ x_prev)
         return x_i, x_i
 
-    _, x = jax.lax.scan(fwd, jnp.zeros((6,), v.dtype),
-                        (JjInv[1:], Ji[1:], u))
-    return jnp.concatenate([jnp.zeros((1, 6), v.dtype), x])
+    _, x = jax.lax.scan(fwd, zero6, (JjInv[1:], Ji[1:], u))
+    return jnp.concatenate([zero6[None], x])
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "cg_iters",

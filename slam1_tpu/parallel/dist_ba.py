@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from slam1_tpu.config import BAConfig
-from slam1_tpu.models.ba import BAProblem, _diag_only, _inv3x3, _linearize
+from slam1_tpu.models.ba import (BAProblem, _diag_only, _inv3x3,
+                                 _linearize, make_problem)
 from slam1_tpu.ops import se3
 from slam1_tpu.ops.camera import StereoCamera
 from slam1_tpu.ops.cg import cg
@@ -152,18 +153,20 @@ def partition_problem(problem: BAProblem, n_shards: int
         pts[s, :hi - lo] = flat[lo:hi]
         orig[s, :hi - lo] = np.arange(lo, hi)
 
-    return (BAProblem(poses=problem.poses, points=jnp.asarray(pts),
-                      cam_idx=jnp.asarray(cam_idx),
-                      lm_idx=jnp.asarray(lm_local), uv=jnp.asarray(uv),
-                      w=jnp.asarray(w), ur=jnp.asarray(ur),
-                      wr=jnp.asarray(wr)),
+    return (make_problem(poses=problem.poses, points=jnp.asarray(pts),
+                         cam_idx=jnp.asarray(cam_idx),
+                         lm_idx=jnp.asarray(lm_local), uv=jnp.asarray(uv),
+                         w=jnp.asarray(w), ur=jnp.asarray(ur),
+                         wr=jnp.asarray(wr)),
             jnp.asarray(orig))
 
 
 def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
-                      lam, cfg: BAConfig):
+                      lam, cut, cfg: BAConfig):
     """Runs per-device inside shard_map. Leading shard axis of size 1 on
-    the local arguments is squeezed."""
+    the local arguments is squeezed. `cut` is the iteration's graduated
+    outlier cut in px (inf disables) — observations beyond it are
+    zero-weighted for the step, mirroring the single-chip LM."""
     points = points[0]
     cam_idx = cam_idx[0]
     lm_idx = lm_idx[0]
@@ -174,8 +177,8 @@ def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
 
     C = poses.shape[0]
     Lk = points.shape[0]
-    local = BAProblem(poses=poses, points=points, cam_idx=cam_idx,
-                      lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr)
+    local = make_problem(poses=poses, points=points, cam_idx=cam_idx,
+                         lm_idx=lm_idx, uv=uv, w=w, ur=ur, wr=wr)
 
     # Huber IRLS weights from current residuals.
     from slam1_tpu.models.ba import _obs_residual
@@ -188,6 +191,7 @@ def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
         zero6, zero3, T, X, uv, ur, wr, cam)
     r2 = jnp.sum(r * r, axis=-1)
     w_irls = w * huber_weights(r2, cfg.huber_delta)
+    w_irls = w_irls * (r2 < cut * cut)
     cost_local = jnp.sum(w_irls * r2)
     cost = jax.lax.psum(cost_local, "lm")
 
@@ -242,11 +246,14 @@ def _local_shard_step(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
     return dc, dl[None], cost
 
 
-def _local_cost(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
+def _local_cost(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cap, cam,
                 cfg: BAConfig):
     """Cost-only shard evaluation (no Jacobians, no Schur, no CG): the
     cheap candidate-pricing half of the LM accept/reject. Runs inside
-    shard_map; ~5% of a full _local_shard_step."""
+    shard_map; ~5% of a full _local_shard_step. `cap` saturates each
+    observation's robust contribution (the truncated objective the
+    single-chip LM accepts on — models/ba.bundle_adjust); inf = plain
+    Huber."""
     from slam1_tpu.models.ba import _obs_residual
     points = points[0]
     cam_idx = cam_idx[0]
@@ -263,8 +270,8 @@ def _local_cost(poses, points, cam_idx, lm_idx, uv, w, ur, wr, cam,
     r = jax.vmap(_obs_residual, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
         zero6, zero3, T, X, uv, ur, wr, cam)
     r2 = jnp.sum(r * r, axis=-1)
-    return jax.lax.psum(jnp.sum(w * huber_weights(r2, cfg.huber_delta)
-                                * r2), "lm")
+    contrib = huber_weights(r2, cfg.huber_delta) * r2
+    return jax.lax.psum(jnp.sum(w * jnp.minimum(contrib, cap)), "lm")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh",
@@ -286,22 +293,41 @@ def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
         functools.partial(_local_shard_step, cfg=cfg),
         mesh=mesh,
         in_specs=(spec_rep, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
-                  spec_sh, spec_sh, spec_rep, spec_rep),
+                  spec_sh, spec_sh, spec_rep, spec_rep, spec_rep),
         out_specs=(spec_rep, spec_sh, spec_rep),
     )
     cost_fn = shard_map(
         functools.partial(_local_cost, cam=cam, cfg=cfg),
         mesh=mesh,
         in_specs=(spec_rep, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
-                  spec_sh, spec_sh),
+                  spec_sh, spec_sh, spec_rep),
         out_specs=spec_rep,
     )
+    dt = problem.uv.dtype
 
-    def lm_iter(carry, _):
-        poses, points, lam, cost = carry
+    def cut_cap(t):
+        """Graduated outlier cut + saturation cap, mirroring the
+        single-chip LM (models/ba.bundle_adjust): acceptance on the
+        truncated robust objective keeps both solvers semantically
+        aligned problem-for-problem."""
+        if cfg.outlier_px:
+            cut = cfg.outlier_px * jnp.maximum(
+                1.0, 8.0 * 0.5 ** t.astype(dt))
+            cap = huber_weights(cut * cut, cfg.huber_delta) * cut * cut
+        else:
+            cut = jnp.asarray(jnp.inf, dt)
+            cap = jnp.asarray(jnp.inf, dt)
+        return cut, cap
+
+    def lm_iter(carry, t):
+        poses, points, lam = carry
+        cut, cap = cut_cap(t)
+        cost_cur = cost_fn(poses, points, problem.cam_idx,
+                           problem.lm_idx, problem.uv, problem.w,
+                           problem.ur, problem.wr, cap)
         dc, dl, _ = step(poses, points, problem.cam_idx, problem.lm_idx,
                          problem.uv, problem.w, problem.ur, problem.wr,
-                         cam, lam)
+                         cam, lam, cut)
         dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
         dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
         new_poses = poses @ se3.exp_se3(dc)
@@ -309,25 +335,27 @@ def distributed_bundle_adjust(problem: BAProblem, cam: StereoCamera,
         # Candidate pricing via the cost-only kernel — NOT a second full
         # linearization (r1 VERDICT weak #7: the old second `step` call
         # doubled the per-iteration cost of the scaling path).
-        new_cost = cost_fn(new_poses, new_points, problem.cam_idx,
+        cost_new = cost_fn(new_poses, new_points, problem.cam_idx,
                            problem.lm_idx, problem.uv, problem.w,
-                           problem.ur, problem.wr)
-        accept = new_cost < cost
+                           problem.ur, problem.wr, cap)
+        accept = cost_new < cost_cur
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
-        cost = jnp.where(accept, new_cost, cost)
         lam = jnp.clip(jnp.where(accept, lam / cfg.lm_lambda_down,
                                  lam * cfg.lm_lambda_up), 1e-9, 1e6)
-        return (poses, points, lam, cost), cost
+        # Trace/report the FULL Huber cost (cap=inf) of the accepted
+        # point, comparable across iterations and to the single-chip
+        # trace.
+        full = cost_fn(poses, points, problem.cam_idx, problem.lm_idx,
+                       problem.uv, problem.w, problem.ur, problem.wr,
+                       jnp.asarray(jnp.inf, dt))
+        return (poses, points, lam), full
 
-    cost0 = cost_fn(problem.poses, problem.points, problem.cam_idx,
-                    problem.lm_idx, problem.uv, problem.w, problem.ur,
-                    problem.wr)
-    (poses, points, _, cost), costs = jax.lax.scan(
+    (poses, points, _), costs = jax.lax.scan(
         lm_iter,
-        (problem.poses, problem.points,
-         jnp.asarray(cfg.lm_lambda0, problem.uv.dtype), cost0),
-        None, length=cfg.lm_iters)
+        (problem.poses, problem.points, jnp.asarray(cfg.lm_lambda0, dt)),
+        jnp.arange(cfg.lm_iters))
+    cost = costs[-1]
     out = problem._replace(poses=poses, points=points)
     if return_trace:
         return out, cost, costs

@@ -161,7 +161,7 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
         # measurably stagnated ~0.15 m from the GN fixed point on a
         # 128-pose chain even at 3F iterations in f32). Only the
         # cross-boundary odometry edges and loop edges are left to CG.
-        eye6 = jnp.eye(6, dt)
+        eye6 = jnp.eye(6, dtype=dt)
         JiC = jnp.concatenate([jnp.zeros((1, 6, 6), dt), Ji[:B - 1]])
         JjC = jnp.concatenate([eye6[None], Jj[:B - 1]])
         wC = jnp.concatenate([jnp.zeros((1,), dt), w_blk[:B - 1]])
@@ -170,13 +170,20 @@ def _local_pgo(poses_blk, z_blk, w_blk, le_i, le_j, le_z, le_w,
         JjC = jnp.where(dead[:, None, None], eye6, JjC)
         JjInv = _inv6(JjC)
         winv = 1.0 / (wC + damping)
+        # Row 0 has no chain edge inside this block (its edge belongs
+        # to the left neighbour), but it DOES have its own outgoing
+        # edge's Ji^T Ji in H — approximate row 0 of M with that block
+        # (plus damping) instead of damping alone: a 1/damping = 1e4
+        # row scaling poisons the preconditioned spectrum and stalls
+        # f32 PCG.
+        from slam1_tpu.ops.lsq import inv_spd6
+        D0 = (w_blk[0] * (Ji[0].T @ Ji[0])
+              + damping * jnp.eye(6, dtype=dt))
+        D0inv = inv_spd6(D0)
 
         def precond(v):
             x = _chain_sqrt_solve(JjInv, JiC, winv, v)
-            # Row 0: the gauge row on device 0 (identity), a
-            # damping-only row elsewhere (its chain edge belongs to the
-            # left neighbour's block).
-            row0 = jnp.where(s == 0, v[0], v[0] / damping)
+            row0 = jnp.where(s == 0, v[0], D0inv @ v[0])
             return x.at[0].set(row0)
 
         # PCG with psum'd reductions (distributed dot products).

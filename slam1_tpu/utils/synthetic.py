@@ -205,7 +205,13 @@ def render_frame(world: SyntheticWorld, frame_idx, height: int, width: int):
     # (fx ~ 718) is exactly perspective-true.
     Z_REF = 18.0 * jnp.clip(world.cam.fx / 718.0, 0.8, 1.0)
     EXT_REF = 9.0                 # rendered stamp extent (px) at Z_REF
-    R_CAN = 12                    # canvas half-extent (stamp may magnify)
+    # Canvas half-extent: bounds magnification (points nearer than
+    # ~10 m render with an edge-truncated stamp) AND the splat's
+    # intermediate footprint — (batch, K, cs, cs) gather/blend arrays
+    # at cs=25 reliably crashed the remote-TPU relay worker
+    # (~0.5 GB transient); cs=19 keeps the pipeline comfortably under
+    # the relay's tolerance.
+    R_CAN = 9
     dy = jnp.arange(-R_CAN, R_CAN + 1)
     oy, ox = jnp.meshgrid(dy, dy, indexing="ij")   # (cs,cs)
 

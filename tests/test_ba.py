@@ -58,7 +58,8 @@ def make_ba_problem(seed=0, n_cams=6, n_pts=120, pose_noise=0.02,
     pts_init = pts_true + jnp.asarray(
         rng.normal(0, point_noise, (n_pts, 3)).astype(np.float32))
 
-    prob = BAProblem(poses=T_init, points=pts_init,
+    from slam1_tpu.models.ba import make_problem
+    prob = make_problem(poses=T_init, points=pts_init,
                      cam_idx=jnp.asarray(cam_idx),
                      lm_idx=jnp.asarray(lm_idx), uv=jnp.asarray(uvs),
                      w=jnp.asarray(w), ur=jnp.asarray(urs),

@@ -143,11 +143,18 @@ def backend_stages(sys_, world, cfg, n):
                               gt[kf_frames], align=False))
 
     ate_vo = kf_ate(st)                   # before final PGO
-    # finalize: drain trailing rows/verifications, then full-strength
-    # PGO over ALL accepted loop edges — the trajectory must be pulled
+    # Offline loop-recovery sweep (brute-force MXU place query over the
+    # whole keyframe store) + finalize: drain trailing rows and
+    # verifications, then one full-strength chain-preconditioned PGO
+    # over ALL accepted loop edges — the trajectory must be pulled
     # globally consistent BEFORE local linearization (global BA) can
     # help (r4 lesson: BA on a 25 m-drifted trajectory with ~90 px mean
     # residuals cannot fix it).
+    t0 = time.perf_counter()
+    added = sys_.detect_loops_offline(stride_kf=8, run_pgo=False)
+    sweep_wall = time.perf_counter() - t0
+    print(f"  offline loop sweep: +{added} edges "
+          f"({sweep_wall:.1f}s)", file=sys.stderr)
     sys_.finalize()
     st = sys_.state
     ate_pgo = kf_ate(st)
@@ -172,15 +179,25 @@ def backend_stages(sys_, world, cfg, n):
     n_obs = int(np.asarray(jnp.sum(prob.w > 0)))
     cost_before = float(_cost(prob, world.cam, cfg.ba.huber_delta)[0])
 
+    # Pose-prior edges (odometry chain + verified closures) ride inside
+    # the BA objective — without them a free global BA trades loop
+    # consistency for reprojection cost (see BAProblem.pe_*). With the
+    # priors supplying structural robustness, the graduated outlier cut
+    # is disabled for the global solve (measured: the cut's truncated
+    # objective stalls/regresses here while plain Huber descends 93%).
+    loop_rows = sys_.loop_edge_rows()
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, outlier_px=0.0))
     # Warm compile (excluded from the timed solve), then timed run.
     warm = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket,
                                    obs_bucket=obs_bucket,
-                                   return_trace=True)
+                                   return_trace=True,
+                                   loop_rows=loop_rows)
     _ = np.asarray(warm[0].traj[0])
     t0 = time.perf_counter()
     st2, cost, trace = pipeline.global_ba_step(
         st, world.cam, cfg, n_kf=bucket, obs_bucket=obs_bucket,
-        return_trace=True)
+        return_trace=True, loop_rows=loop_rows)
     _ = np.asarray(st2.traj[0])                       # real sync
     ba_wall = time.perf_counter() - t0
 
@@ -208,6 +225,8 @@ def backend_stages(sys_, world, cfg, n):
         "loop_closures": len(sys_.loop_edges),
         "loop_rejected": n_rej,
         "loop_accepted_events": n_acc,
+        "loop_sweep_added": added,
+        "loop_sweep_wall_s": round(sweep_wall, 1),
     }
 
 
