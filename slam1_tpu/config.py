@@ -345,6 +345,9 @@ def tiny_config() -> SlamConfig:
                       # resolution; test_pipeline_no_false_loops guards
                       # the precision side.
                       min_loop_inliers=9),
-        tracking=TrackingConfig(ransac_iters=64),
+        # Wider prediction gate: the tiny test clips turn 10-50 deg per
+        # frame, so the constant-velocity prediction misses by far more
+        # than at KITTI-like motion.
+        tracking=TrackingConfig(ransac_iters=64, gate_radius_px=96.0),
         disparity=DisparityConfig(max_disp=32, radius=3),
     )

@@ -137,22 +137,33 @@ def place_query(store: KeyframeStore, q_row, max_frame, n_rows: int,
     qa = unpack_bits_pm1(q_desc).astype(jnp.bfloat16)      # (N,256)
     bits = qa.shape[1]
 
+    # Scan in GROUPS of keyframes: one (N,256)x(256,G*K) contraction
+    # per step instead of n_rows small matmuls (a length-1024 scan of
+    # (1024,256)x(256,1024) tiles spent most of its 0.34 s/query in
+    # per-step overheads; G=8 keeps each step square-ish on the MXU).
+    G = min(8, n_rows)
+    assert n_rows % G == 0, (n_rows, G)   # callers pass 2^k buckets
+    n_groups = n_rows // G
+    K = store.desc.shape[1]
+    gd = store.desc[:n_groups * G].reshape(n_groups, G * K, -1)
+    gm = store.mask[:n_groups * G].reshape(n_groups, G * K)
+
     def chunk(carry, fd):
         d_desc, d_mask = fd
-        da = unpack_bits_pm1(d_desc).astype(jnp.bfloat16)  # (K,256)
+        da = unpack_bits_pm1(d_desc).astype(jnp.bfloat16)  # (G*K,256)
         sim = jax.lax.dot_general(
             qa, da, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)            # (N,K)
+            preferred_element_type=jnp.float32)            # (N,G*K)
         dist = (bits - sim) * 0.5
         dist = jnp.where(d_mask[None, :], dist, 1e9)
-        dmin = jnp.min(dist, axis=1)
-        score = jnp.sum(((dmin <= thresh) & q_mask)
-                        .astype(jnp.float32))
+        dmin = jnp.min(dist.reshape(-1, G, K), axis=2)     # (N,G)
+        score = jnp.sum(((dmin <= thresh) & q_mask[:, None])
+                        .astype(jnp.float32), axis=0)      # (G,)
         return carry, score
 
-    _, scores = jax.lax.scan(chunk, 0,
-                             (store.desc[:n_rows], store.mask[:n_rows]))
+    _, scores = jax.lax.scan(chunk, 0, (gd, gm))
+    scores = scores.reshape(-1)[:n_rows]
     fo = store.frame_of_row[:n_rows]
     valid = (fo >= 0) & (fo <= max_frame)
     scores = jnp.where(valid, scores, -1.0)

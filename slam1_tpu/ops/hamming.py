@@ -97,6 +97,21 @@ def match_epipolar(desc_a, desc_b, xy_a, xy_b, mask_a, mask_b, *,
     matching and pays the same recall cost.
     """
     n, m_ = desc_a.shape[0], desc_b.shape[0]
+    if _use_pallas() and n % 128 == 0 and m_ % 128 == 0:
+        from slam1_tpu.ops.pallas_kernels import hamming_top2
+        ma = (jnp.ones((n,), bool) if mask_a is None else mask_a)
+        mb = (jnp.ones((m_,), bool) if mask_b is None else mask_b)
+        d1, d2, best, col_best = hamming_top2(
+            unpack_bits_pm1(desc_a), unpack_bits_pm1(desc_b), ma, mb,
+            uv_a=xy_a, uv_b=xy_b, dy_tol=float(dy_tol),
+            dx_lo=float(min_disparity), dx_hi=float(max_disparity))
+        ok = (d1 <= max_distance) & (d1.astype(jnp.float32)
+                                     < ratio * d2.astype(jnp.float32))
+        if cross_check:
+            ok = ok & (col_best[best] == jnp.arange(n))
+        if mask_a is not None:
+            ok = ok & mask_a
+        return Matches(idx=best, distance=d1, mask=ok)
     d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
     dy = jnp.abs(xy_a[:, 1:2] - xy_b[None, :, 1])
     disp = xy_a[:, 0:1] - xy_b[None, :, 0]
@@ -120,15 +135,33 @@ def match_windowed(desc_a, desc_b, uv_pred_a, xy_b, mask_a, mask_b, *,
                    radius, ratio=0.8, max_distance=64,
                    cross_check=True) -> Matches:
     """Prediction-gated matching: B candidates outside a `radius`-px
-    disk around each A row's PREDICTED position are masked out of the
+    window around each A row's PREDICTED position are masked out of the
     distance matrix before best/second-best selection — the temporal
     analogue of match_epipolar's band (the ratio test then compares
     against candidates the motion model considers reachable, not the
-    whole frame's lookalikes)."""
+    whole frame's lookalikes). The gate is an axis-aligned square (the
+    fused Pallas kernel's band form); the jnp fallback matches it."""
     n = desc_a.shape[0]
+    m_ = desc_b.shape[0]
+    if _use_pallas() and n % 128 == 0 and m_ % 128 == 0:
+        from slam1_tpu.ops.pallas_kernels import hamming_top2
+        ma = (jnp.ones((n,), bool) if mask_a is None else mask_a)
+        mb = (jnp.ones((m_,), bool) if mask_b is None else mask_b)
+        d1, dd2, best, col_best = hamming_top2(
+            unpack_bits_pm1(desc_a), unpack_bits_pm1(desc_b), ma, mb,
+            uv_a=uv_pred_a, uv_b=xy_b, dy_tol=float(radius),
+            dx_lo=-float(radius), dx_hi=float(radius))
+        ok = (d1 <= max_distance) & (d1.astype(jnp.float32)
+                                     < ratio * dd2.astype(jnp.float32))
+        if cross_check:
+            ok = ok & (col_best[best] == jnp.arange(n))
+        if mask_a is not None:
+            ok = ok & mask_a
+        return Matches(idx=best, distance=d1, mask=ok)
     d = distance_matrix(desc_a, desc_b, mask_a, mask_b)
-    d2px = jnp.sum((uv_pred_a[:, None, :] - xy_b[None, :, :]) ** 2, -1)
-    d = jnp.where(d2px > radius * radius, _BIG, d)
+    dy = jnp.abs(uv_pred_a[:, 1:2] - xy_b[None, :, 1])
+    dx = uv_pred_a[:, 0:1] - xy_b[None, :, 0]
+    d = jnp.where((dy > radius) | (jnp.abs(dx) > radius), _BIG, d)
     neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
     d1, dd2 = -neg_top2[:, 0], -neg_top2[:, 1]
     best = idx_top2[:, 0]

@@ -41,8 +41,9 @@ _BIG = 1 << 20  # plain int: pallas kernels cannot capture array constants
 # Fused Hamming top-2 matcher
 # ---------------------------------------------------------------------------
 
-def _hamming_kernel(bits, a_ref, b_ref, ma_ref, mb_ref, d1_ref, d2_ref,
-                    idx_ref, cmin_ref, carg_ref):
+def _hamming_kernel(bits, dy_tol, dx_lo, dx_hi, a_ref, b_ref, ma_ref,
+                    mb_ref, pya_ref, pxa_ref, yb_ref, xb_ref, d1_ref,
+                    d2_ref, idx_ref, cmin_ref, carg_ref):
     i = pl.program_id(0)
     tn = a_ref.shape[0]
     # (TN, M) similarity on the MXU; d = (bits - sim) / 2. Descriptors
@@ -59,6 +60,16 @@ def _hamming_kernel(bits, a_ref, b_ref, ma_ref, mb_ref, d1_ref, d2_ref,
     d = (bits - sim) * 0.5
     d = jnp.where(mb_ref[:] > 0, d, float(_BIG))           # (1,M) broadcast
     d = jnp.where(ma_ref[0][:, None] > 0, d, float(_BIG))  # invalid A rows
+    if dy_tol is not None:
+        # Fused geometric gate (epipolar band / prediction window):
+        # candidates outside it never reach the top-2 — elementwise VPU
+        # work on the tile already in VMEM, so gated matching costs the
+        # same as plain matching (the jnp fallback materializes three
+        # extra (N,M) arrays in HBM).
+        dyv = jnp.abs(yb_ref[0][None, :] - pya_ref[0][:, None])
+        dxv = pxa_ref[0][:, None] - xb_ref[0][None, :]
+        bad = (dyv > dy_tol) | (dxv < dx_lo) | (dxv > dx_hi)
+        d = jnp.where(bad, float(_BIG), d)
 
     # Row-wise best / second-best / argbest (Mosaic argmin needs f32).
     d1 = jnp.min(d, axis=1)
@@ -86,29 +97,49 @@ def _hamming_kernel(bits, a_ref, b_ref, ma_ref, mb_ref, d1_ref, d2_ref,
         carg_ref[0, :] = jnp.where(take, carg_t, carg_ref[0, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, interpret: bool = False):
-    """Fused Hamming top-2.
+@functools.partial(jax.jit, static_argnames=("interpret", "dy_tol",
+                                             "dx_lo", "dx_hi"))
+def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, uv_a=None, uv_b=None,
+                 dy_tol=None, dx_lo=0.0, dx_hi=0.0,
+                 interpret: bool = False):
+    """Fused Hamming top-2, optionally with a fused geometric gate.
 
     Args:
       a_pm1: (N, B) int8 descriptors unpacked to {-1,+1}; N % 128 == 0.
       b_pm1: (M, B) int8; M % 128 == 0.
       mask_a: (N,) bool — invalid rows get sentinel distance.
       mask_b: (M,) bool — invalid columns get sentinel distance.
+      uv_a/uv_b: optional (N,2)/(M,2) float coords — for row a, column
+        b is eligible only if |y_b - y_a| <= dy_tol and
+        dx_lo <= x_a - x_b <= dx_hi (the epipolar band with uv_a = A's
+        positions; a prediction window with uv_a = predicted positions
+        and dx_lo = -dx_hi = -radius). dy_tol/dx_lo/dx_hi are STATIC.
     Returns:
       d1 (N,), d2 (N,), idx (N,) int32 row-wise best/second/argbest and
-      col_best (M,) int32 column-wise argmin (for cross-checking).
+      col_best (M,) int32 column-wise argmin (for cross-checking, gated
+      by the same geometry).
     """
     n, bits = a_pm1.shape
     m = b_pm1.shape[0]
     tn = 128
     assert n % tn == 0 and m % 128 == 0, (n, m)
+    assert (uv_a is None) == (dy_tol is None)
     grid = n // tn
     a_pm1 = a_pm1.astype(jnp.bfloat16)   # ±1: exact; Mosaic lacks int8 mmul
     b_t = b_pm1.astype(jnp.bfloat16).T   # (bits, M) for the (m,k)@(k,n) MXU
+    if uv_a is None:
+        pya = pxa = jnp.zeros((1, n), jnp.float32)
+        yb = xb = jnp.zeros((1, m), jnp.float32)
+        gate = (None, 0.0, 0.0)
+    else:
+        pya = uv_a[:, 1].astype(jnp.float32).reshape(1, n)
+        pxa = uv_a[:, 0].astype(jnp.float32).reshape(1, n)
+        yb = uv_b[:, 1].astype(jnp.float32).reshape(1, m)
+        xb = uv_b[:, 0].astype(jnp.float32).reshape(1, m)
+        gate = (float(dy_tol), float(dx_lo), float(dx_hi))
 
     d1, d2, idx, _, carg = pl.pallas_call(
-        functools.partial(_hamming_kernel, int(bits)),
+        functools.partial(_hamming_kernel, int(bits), *gate),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tn, bits), lambda i: (i, 0),
@@ -116,6 +147,10 @@ def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, interpret: bool = False):
             pl.BlockSpec((bits, m), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -138,7 +173,7 @@ def hamming_top2(a_pm1, b_pm1, mask_a, mask_b, *, interpret: bool = False):
         ],
         interpret=interpret,
     )(a_pm1, b_t, mask_a.astype(jnp.int32).reshape(1, n),
-      mask_b.astype(jnp.int32).reshape(1, m))
+      mask_b.astype(jnp.int32).reshape(1, m), pya, pxa, yb, xb)
     return (d1.reshape(n), d2.reshape(n), idx.reshape(n), carg.reshape(m))
 
 
