@@ -528,6 +528,9 @@ def _pgo_step(traj, rel, rel_mask, kf_frames, kf_mask, le_i, le_j, le_z,
         z=jnp.concatenate([z_odo, le_z]),
         w=jnp.concatenate([w_odo, le_w]))
     opt, cost = posegraph.optimize(graph, iters=iters, cg_iters=cg_iters)
+    # Last-line defence: never let a non-finite relaxation replace a
+    # finite trajectory (poisoning every downstream consumer).
+    opt = jnp.where(jnp.isfinite(opt).all(), opt, t)
     traj = traj.at[:bucket].set(opt)
     t_w = traj[jnp.clip(frame, 0, traj.shape[0] - 1)]
     # Refresh keyframe poses from the relaxed trajectory.
@@ -1018,6 +1021,8 @@ class SlamSystem:
                 continue
             if self._edge_is_dup(cand, a_frame):
                 continue              # this revisit window already closed
+            if not np.isfinite(T_ac).all():
+                continue              # degenerate RANSAC output
             # Edge (cand, anchor): Z = T_cand_anchor = inv(T_anchor_cand)
             Z = np.asarray(np.linalg.inv(np.asarray(T_ac)))
             self.loop_edges.append((cand, a_frame, Z,

@@ -155,6 +155,16 @@ def optimize(graph: PoseGraph, iters: int = 10, cg_iters: int = 50,
             zero, zero, T_i, T_j, graph.z)                            # (E,6,6)
         Jj = jax.vmap(jax.jacfwd(_edge_residual, argnums=1))(
             zero, zero, T_i, T_j, graph.z)
+        # Hard-mask disabled edges BEFORE weighting: a w=0 edge between
+        # a live pose and an identity padding row can sit at a log-map
+        # singularity (relative rotation ~ pi), where the residual and
+        # Jacobians are NaN — and 0 * NaN = NaN poisons the whole solve
+        # (observed live at 2000-frame scale; dist_pgo has carried the
+        # same guard since r3).
+        evalid = (graph.w > 0)[:, None]
+        r0 = jnp.where(evalid, r0, 0.0)
+        Ji = jnp.where(evalid[..., None], Ji, 0.0)
+        Jj = jnp.where(evalid[..., None], Jj, 0.0)
 
         w = graph.w[:, None]
 
@@ -201,6 +211,7 @@ def optimize(graph: PoseGraph, iters: int = 10, cg_iters: int = 50,
                 return x.at[0].set(v[0])
 
         delta = cg(matvec, b, iters=cg_iters, precond=precond)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         delta = delta.at[0].set(0.0)
         return poses @ se3.exp_se3(delta), None
 
