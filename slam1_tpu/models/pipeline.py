@@ -376,10 +376,18 @@ def local_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
     # silently revert the BA refinement at the next relaxation.
     # Convention (_pgo_step): rel[f] = -log(inv(traj[f-1]) @ traj[f]).
     lo = jnp.min(jnp.where(fr_ok, frames, jnp.iinfo(jnp.int32).max))
+    hi = jnp.max(jnp.where(fr_ok, frames, -1))
     rel_new = -jax.vmap(
         lambda a, b: se3.log_se3(se3.inverse(a) @ b))(traj[:-1], traj[1:])
     f_idx = jnp.arange(1, traj.shape[0])
-    upd = (f_idx >= lo) & (f_idx <= state.frame) & state.rel_mask[1:]
+    # Only edges touching a pose THIS WINDOW actually changed (frames
+    # [lo, hi]; edge f couples f-1 and f, hence <= hi + 1). Re-deriving
+    # all the way to the current frame (the r4 bound) silently absorbed
+    # every intervening pose-graph relaxation into the "odometry"
+    # measurements — a feedback loop that degraded the final PGO
+    # optimum at 2000-frame scale once live loop closures made mid-run
+    # relaxations frequent.
+    upd = (f_idx >= lo) & (f_idx <= hi + 1) & state.rel_mask[1:]
     rel = state.rel.at[1:].set(
         jnp.where(upd[:, None], rel_new, state.rel[1:]))
 
