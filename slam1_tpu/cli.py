@@ -220,9 +220,13 @@ def _cmd_ba(args):
                 kf=st.kf._replace(poses=kf_poses))
             extra = {"mesh": dict(mesh.shape), "dropped_obs": dropped}
         else:
+            # Pose-prior edges (odometry chain + the checkpoint's loop
+            # closures) regularize the global solve — see
+            # models/ba.BAProblem.pe_*.
+            loop_rows = sys_.loop_edge_rows() if sys_.loop_edges else None
             sys_.state, cost = pipeline.global_ba_step(
                 sys_.state, cam, cfg, n_kf=bucket,
-                obs_bucket=obs_bucket)
+                obs_bucket=obs_bucket, loop_rows=loop_rows)
             extra = {}
         poses = sys_.poses()
         np.save(args.out, poses)

@@ -180,13 +180,22 @@ def main() -> int:
              + jax.random.normal(jax.random.fold_in(kk, 4),
                                  (C, 6, 6)) * 0.1)
 
+    # Mirror models/ba._schur_solve's production matvec: sorted-segment
+    # reductions (cumsum + boundary gathers) instead of scatter-adds —
+    # the r5 fix for the 60x-from-SoL scatter bottleneck.
+    from slam1_tpu.models.ba import _segends, segment_sum_sorted
+    c_perm = jnp.argsort(ci)
+    c_ends = _segends(ci[c_perm], C)
+    l_perm = jnp.argsort(li)
+    l_ends = _segends(li[l_perm], L)
+
     def matvec(x):
         u = jnp.einsum("oij,oi->oj", Wc, x[ci])
-        s = jnp.zeros((L, 3)).at[li].add(u)
+        s = segment_sum_sorted(u[l_perm], l_ends)
         v = jnp.einsum("lij,lj->li", Hll_inv, s)
         y = jnp.einsum("oij,oj->oi", Wc, v[li])
         out = jnp.einsum("cij,cj->ci", Hcc_d, x)
-        out = out - jnp.zeros((C, 6)).at[ci].add(y)
+        out = out - segment_sum_sorted(y[c_perm], c_ends)
         return out.at[0].set(x[0])
 
     def mv_body(x, t):
