@@ -284,6 +284,16 @@ class BAConfig:
     # pose-only special case of this (BundleAdjustment.py:107-183).
     prior_odo_weight: float = 1e4
     prior_loop_weight: float = 1e6
+    # One-shot pre-solve association gate for GLOBAL BA (px): zero the
+    # weight of observations whose initial residual norm exceeds this
+    # before the solve. The observation store carries a ~0.1% garbage
+    # tail (mis-inherited identities, voxel-merge gluings, z-clamped
+    # points with 1e6+ px residuals) that holds 99% of the initial
+    # reprojection cost and wrecks LM (see pipeline.global_ba_step).
+    # 256 px keeps drift-informative cross-lap observations (measured
+    # p99.9 of genuine residuals ~138 px post-PGO) while removing the
+    # catastrophic tail. 0 = off.
+    global_trim_px: float = 256.0
     # per-axis motion-prior weights, ref BundleAdjustment.py:124-129
     motion_prior: tuple = (1.0, 1.0, 5e-4, 0.5, 0.05, 1.0)
     cg_iters: int = 64              # CG iterations for the reduced camera system

@@ -218,6 +218,31 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
     bc = -seg_cam(jnp.einsum("oai,oa->oi", Jc, r * w[:, None]))
     bl = -seg_lm(jnp.einsum("oai,oa->oi", Jl, r * w[:, None]))
 
+    # Pose-prior edges: camera-side only, so they ride OUTSIDE the
+    # landmark elimination — gradient into bc; the DIAGONAL curvature
+    # blocks Jpi'Jpi / Jpj'Jpj are folded into Hcc so LM damping and
+    # the block-Jacobi preconditioner see them (prior weights are
+    # 1e4-1e6 — orders above per-observation reprojection curvature;
+    # leaving them matvec-only starved the preconditioner of the
+    # DOMINANT curvature and CG returned junk steps at small lam:
+    # measured at config-4 scale as 1 accepted LM step in 15). Only
+    # the (i,j) CROSS blocks stay matrix-free in the CG matvec.
+    has_prior = problem.pe_i.shape[0] > 0
+    if has_prior:
+        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
+        wp2 = wp[:, None]
+        wp3 = wp[:, None, None]
+        bc = bc - (jnp.zeros((C, 6), r.dtype)
+                   .at[problem.pe_i].add(
+                       jnp.einsum("eab,ea->eb", Jpi, rp * wp2))
+                   .at[problem.pe_j].add(
+                       jnp.einsum("eab,ea->eb", Jpj, rp * wp2)))
+        Hcc = (Hcc
+               .at[problem.pe_i].add(
+                   jnp.einsum("eai,eaj->eij", Jpi, Jpi) * wp3)
+               .at[problem.pe_j].add(
+                   jnp.einsum("eai,eaj->eij", Jpj, Jpj) * wp3))
+
     eye6 = jnp.eye(6, dtype=r.dtype)
     eye3 = jnp.eye(3, dtype=r.dtype)
     Hcc_d = Hcc + lam * _diag_only(Hcc) + 1e-6 * eye6
@@ -226,20 +251,6 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
     # VPU work. jnp.linalg.inv lowers to a scalarized LU loop on TPU —
     # hundreds of ms at L ~ 10^5.
     Hll_inv = _inv3x3(Hll_d)                                      # (L,3,3)
-
-    # Pose-prior edges: camera-side only, so they ride OUTSIDE the
-    # landmark elimination — gradient into bc, curvature applied
-    # matrix-free inside the CG matvec (both the diagonal and the
-    # (i,j) cross blocks; Hcc stays block-diagonal storage).
-    has_prior = problem.pe_i.shape[0] > 0
-    if has_prior:
-        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
-        wp2 = wp[:, None]
-        bc = bc - (jnp.zeros((C, 6), r.dtype)
-                   .at[problem.pe_i].add(
-                       jnp.einsum("eab,ea->eb", Jpi, rp * wp2))
-                   .at[problem.pe_j].add(
-                       jnp.einsum("eab,ea->eb", Jpj, rp * wp2)))
 
     btil = bc - seg_cam(
         jnp.einsum("oij,oj->oi", W,
@@ -254,14 +265,16 @@ def _schur_solve(problem, r, Jc, Jl, w, lam, cg_iters: int):
         out = jnp.einsum("cij,cj->ci", Hcc_d, x)
         out = out - seg_cam(y)
         if has_prior:
-            ye = (jnp.einsum("eab,eb->ea", Jpi, x[problem.pe_i])
-                  + jnp.einsum("eab,eb->ea", Jpj,
-                               x[problem.pe_j])) * wp2
+            # Cross blocks only — the diagonal blocks are inside Hcc_d.
             out = (out
                    .at[problem.pe_i].add(
-                       jnp.einsum("eab,ea->eb", Jpi, ye))
+                       jnp.einsum("eab,ea->eb", Jpi,
+                                  wp2 * jnp.einsum("eab,eb->ea", Jpj,
+                                                   x[problem.pe_j])))
                    .at[problem.pe_j].add(
-                       jnp.einsum("eab,ea->eb", Jpj, ye)))
+                       jnp.einsum("eab,ea->eb", Jpj,
+                                  wp2 * jnp.einsum("eab,eb->ea", Jpi,
+                                                   x[problem.pe_i]))))
         return out.at[0].set(x[0])                                # gauge
 
     # closed-form blockwise SPD inverse (jnp.linalg.inv = scalarized
@@ -408,9 +421,16 @@ class BATrace(NamedTuple):
     rejected LM steps); `n_obs` the observation count surviving BOTH the
     IRLS weight and the graduated outlier cut at that iteration — the
     two together attribute a weak reduction to a stalled LM vs an
-    outlier cut starving the problem of support vs CG non-convergence."""
+    outlier cut starving the problem of support vs CG non-convergence.
+    `lam`/`accept`/`dc_norm` localize a stall further: rejected steps at
+    tiny lam = overshooting (CG under-convergence or nonlinearity),
+    rejected steps at huge lam with dc_norm -> 0 = the f32 cost
+    comparison can no longer resolve genuine descent."""
     cost: jnp.ndarray    # (lm_iters,)
     n_obs: jnp.ndarray   # (lm_iters,) int32
+    lam: jnp.ndarray     # (lm_iters,) damping used for the iteration's step
+    accept: jnp.ndarray  # (lm_iters,) bool
+    dc_norm: jnp.ndarray  # (lm_iters,) max camera-step norm (pre-accept)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "return_trace"))
@@ -490,9 +510,13 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
         lam = jnp.clip(lam, 1e-9, 1e6)
         n_surv = jnp.sum((w > 0).astype(jnp.int32))
         full = jnp.where(accept, full_new, full_cur)
-        return (poses, points, lam), (full, n_surv)
+        lam_used = jnp.where(accept, lam * cfg.lm_lambda_down,
+                             lam / cfg.lm_lambda_up)  # pre-update value
+        dc_norm = jnp.max(jnp.linalg.norm(dc, axis=-1))
+        return (poses, points, lam), (full, n_surv, lam_used, accept,
+                                      dc_norm)
 
-    (poses, points, _), (costs, n_obs) = jax.lax.scan(
+    (poses, points, _), (costs, n_obs, lams, accepts, dc_norms) = jax.lax.scan(
         lm_step,
         (problem.poses, problem.points,
          jnp.asarray(cfg.lm_lambda0, problem.uv.dtype)),
@@ -502,7 +526,8 @@ def bundle_adjust(problem: BAProblem, cam: StereoCamera,
     cost = cost + _prior_cost(problem, poses)
     out = problem._replace(poses=poses, points=points)
     if return_trace:
-        return out, cost, BATrace(cost=costs, n_obs=n_obs)
+        return out, cost, BATrace(cost=costs, n_obs=n_obs, lam=lams,
+                                  accept=accepts, dc_norm=dc_norms)
     return out, cost
 
 

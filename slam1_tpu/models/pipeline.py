@@ -49,6 +49,7 @@ from slam1_tpu.config import SlamConfig
 from slam1_tpu.models import bow as bow_mod
 from slam1_tpu.models import mapping
 from slam1_tpu.models import posegraph
+from slam1_tpu.models.ba import _cost as ba_cost
 from slam1_tpu.models.ba import bundle_adjust, make_problem
 from slam1_tpu.models.frontend import stereo_frontend
 from slam1_tpu.models.loop_closure import place_query, verify_loop_slate
@@ -486,6 +487,23 @@ def global_ba_step(state: SlamState, cam: StereoCamera, cfg: SlamConfig,
         prior_odo_weight=(cfg.ba.prior_odo_weight
                           if loop_rows is not None else 0.0),
         prior_loop_weight=cfg.ba.prior_loop_weight)
+    if cfg.ba.global_trim_px > 0:
+        # One-shot association gate at the (post-PGO) initial point:
+        # the observation store accumulates a small garbage tail —
+        # mis-inherited landmark identities, voxel-merge gluings, and
+        # points driven to the z>=1e-3 clamp whose residuals reach 1e6+
+        # px. Measured at both 600- and 2000-frame scale: the top 10%
+        # of residuals carry 99% of the reprojection cost (median
+        # residual 3.4 px) and every LM step chases them — one
+        # overshooting accept, then rejections to lam ~ 3e4 and an ATE
+        # *regression*. Trimming at a fixed pixel radius before the
+        # solve (not a graduated in-loop cut: the trajectory is
+        # already globally consistent here) removes the junk while
+        # keeping >95% of real observations.
+        _, r0, _ = ba_cost(prob, cam, cfg.ba.huber_delta)
+        rn0 = jnp.linalg.norm(r0[:, :2], axis=-1)
+        keep = (rn0 < cfg.ba.global_trim_px).astype(prob.w.dtype)
+        prob = prob._replace(w=prob.w * keep, wr=prob.wr * keep)
     trace = None
     if return_trace:
         out, cost, trace = bundle_adjust(prob, cam, cfg.ba,

@@ -186,8 +186,21 @@ def backend_stages(sys_, world, cfg, n):
     # is disabled for the global solve (measured: the cut's truncated
     # objective stalls/regresses here while plain Huber descends 93%).
     loop_rows = sys_.loop_edge_rows()
+    # outlier_px=0: the one-shot global_trim_px gate replaces the
+    # graduated in-loop cut at global scale (trajectory already
+    # PGO-consistent). lm_lambda0=1.0: measured accept traces show the
+    # first accepted step lands at lam ~ 1; starting at 1e-3 wastes the
+    # first 5 of 15 LM iterations climbing there.
     cfg = dataclasses.replace(
-        cfg, ba=dataclasses.replace(cfg.ba, outlier_px=0.0))
+        cfg, ba=dataclasses.replace(cfg.ba, outlier_px=0.0,
+                                    lm_lambda0=1.0))
+    # Report how many observations the pre-solve association gate
+    # removes (global_trim_px; the solve itself recomputes the mask).
+    r0 = np.asarray(_cost(prob, world.cam, cfg.ba.huber_delta)[1])
+    rn0 = np.linalg.norm(r0[:, :2], axis=-1)
+    w0 = np.asarray(prob.w) > 0
+    n_trim = int((w0 & (rn0 >= cfg.ba.global_trim_px)).sum()) \
+        if cfg.ba.global_trim_px > 0 else 0
     # Warm compile (excluded from the timed solve), then timed run.
     warm = pipeline.global_ba_step(st, world.cam, cfg, n_kf=bucket,
                                    obs_bucket=obs_bucket,
@@ -208,6 +221,8 @@ def backend_stages(sys_, world, cfg, n):
         "keyframes": n_kf,
         "bucket": bucket,
         "global_ba_observations": n_obs,
+        "global_ba_trimmed": n_trim,
+        "global_trim_px": cfg.ba.global_trim_px,
         "global_ba_wall_s": round(ba_wall, 3),
         "lm_iters": cfg.ba.lm_iters,
         "cg_iters": cfg.ba.cg_iters,
@@ -219,6 +234,11 @@ def backend_stages(sys_, world, cfg, n):
         "ba_cost_trace": [round(float(c), 1) for c in
                           np.asarray(trace.cost)],
         "ba_obs_surviving": [int(v) for v in np.asarray(trace.n_obs)],
+        "ba_lam_trace": [float(f"{float(v):.2e}") for v in
+                         np.asarray(trace.lam)],
+        "ba_accept_trace": [bool(v) for v in np.asarray(trace.accept)],
+        "ba_dc_norm_trace": [float(f"{float(v):.3e}") for v in
+                             np.asarray(trace.dc_norm)],
         "kf_ate_vo_m": round(ate_vo, 4),
         "kf_ate_before_m": round(ate_pgo, 4),
         "kf_ate_after_m": round(ate_after, 4),
