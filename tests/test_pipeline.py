@@ -158,6 +158,45 @@ def test_global_ba_improves_noisy_trajectory():
     assert ate_ba < ate_noisy * 0.7, (ate_noisy, ate_ba)
 
 
+def test_global_ba_gates_garbage_observations():
+    """A handful of catastrophic observations (the store's real failure
+    mode: mis-inherited identities / z-clamped points with 1e4+ px
+    residuals) must be trimmed by the pre-solve association gate
+    (BAConfig.global_trim_px) instead of dominating the objective —
+    measured pre-fix, 0.1% garbage carried 99% of the cost and global
+    BA regressed keyframe ATE."""
+    cfg, world, lefts, rights = _render("arc", n_frames=12, seed=5)
+    sys_ = pipeline.SlamSystem(world.cam, cfg, bow_train_frame=50)
+    for i in range(lefts.shape[0]):
+        sys_.process(lefts[i], rights[i])
+    sys_.finalize(run_pgo=False)
+    gt = np.asarray(world.poses)
+
+    import jax.numpy as jnp
+    st = sys_.state
+    # Corrupt a few real observation slots with absurd pixel coords.
+    obs = np.array(st.map.obs)
+    n_bad = 0
+    for kf in range(min(6, obs.shape[0])):
+        cnt = int(np.asarray(st.map.obs_count[kf]))
+        if cnt > 2:
+            obs[kf, cnt - 1, 2:4] = (1e5, -1e5)
+            n_bad += 1
+    assert n_bad >= 3
+    st = st._replace(map=st.map._replace(obs=jnp.asarray(obs)))
+
+    rng = np.random.default_rng(0)
+    noise = np.zeros((st.traj.shape[0], 4, 4), np.float32)
+    noise[2:12, :3, 3] = rng.normal(0, 0.25, (10, 3))
+    st = st._replace(traj=st.traj + jnp.asarray(noise))
+    ate_noisy = ate_rmse(np.asarray(st.traj[:12]), gt, align=False)
+
+    new_state, cost = pipeline.global_ba_step(st, world.cam, cfg, n_kf=12)
+    ate_ba = ate_rmse(np.asarray(new_state.traj[:12]), gt, align=False)
+    assert np.isfinite(float(cost))
+    assert ate_ba < ate_noisy * 0.7, (ate_noisy, ate_ba)
+
+
 def test_checkpoint_resume_equivalence(tmp_path):
     """Kill-and-resume must reproduce the straight-through run
     (r1 VERDICT missing #6)."""
