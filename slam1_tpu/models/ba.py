@@ -319,6 +319,23 @@ def _schur_solve_direct(problem, r, Jc, Jl, w, lam):
     bl = -jnp.zeros((L, 3), r.dtype).at[li].add(
         jnp.einsum("oai,oa->oi", Jl, r * w[:, None]))
 
+    # Pose-prior edges (camera-side only): DIAGONAL curvature folds
+    # into Hcc before damping (mirroring _schur_solve — LM damping
+    # must see the dominant curvature), cross blocks + gradient added
+    # to the dense system below.
+    has_prior = problem.pe_i.shape[0] > 0
+    if has_prior:
+        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
+        wp2 = wp[:, None]
+        wp3 = wp[:, None, None]
+        pi, pj = problem.pe_i, problem.pe_j
+        Hcc = (Hcc
+               .at[pi].add(jnp.einsum("eai,eaj->eij", Jpi, Jpi) * wp3)
+               .at[pj].add(jnp.einsum("eai,eaj->eij", Jpj, Jpj) * wp3))
+        bc = bc - (jnp.zeros((C, 6), r.dtype)
+                   .at[pi].add(jnp.einsum("eab,ea->eb", Jpi, rp * wp2))
+                   .at[pj].add(jnp.einsum("eab,ea->eb", Jpj, rp * wp2)))
+
     eye6 = jnp.eye(6, dtype=r.dtype)
     eye3 = jnp.eye(3, dtype=r.dtype)
     Hcc_d = Hcc + lam * _diag_only(Hcc) + 1e-6 * eye6
@@ -335,26 +352,13 @@ def _schur_solve_direct(problem, r, Jc, Jl, w, lam):
          - S_off)
     btil = bc - jnp.einsum("lcik,lk->ci", UH, bl)                 # (C,6)
 
-    # Pose-prior edges (camera-side only): dense blocks into S and the
-    # gradient into btil (see _schur_solve for the matrix-free twin).
-    if problem.pe_i.shape[0] > 0:
-        rp, Jpi, Jpj, wp = _prior_terms(problem, problem.poses)
-        wp2 = wp[:, None]
-        pi, pj = problem.pe_i, problem.pe_j
+    if has_prior:
+        # Cross blocks only — diagonal blocks already damped in Hcc_d.
         S = (S
-             .at[pi, :, pi, :].add(
-                 jnp.einsum("eai,eaj->eij", Jpi, Jpi * wp[:, None, None]))
-             .at[pj, :, pj, :].add(
-                 jnp.einsum("eai,eaj->eij", Jpj, Jpj * wp[:, None, None]))
              .at[pi, :, pj, :].add(
-                 jnp.einsum("eai,eaj->eij", Jpi, Jpj * wp[:, None, None]))
+                 jnp.einsum("eai,eaj->eij", Jpi, Jpj * wp3))
              .at[pj, :, pi, :].add(
-                 jnp.einsum("eai,eaj->eij", Jpj, Jpi * wp[:, None, None])))
-        btil = btil - (jnp.zeros((C, 6), r.dtype)
-                       .at[pi].add(jnp.einsum("eab,ea->eb", Jpi,
-                                              rp * wp2))
-                       .at[pj].add(jnp.einsum("eab,ea->eb", Jpj,
-                                              rp * wp2)))
+                 jnp.einsum("eai,eaj->eij", Jpj, Jpi * wp3)))
 
     # Gauge: camera 0 block acts as identity (rows/cols zeroed, diag 1),
     # matching the CG path's `.at[0].set(x[0])`.
